@@ -1,0 +1,301 @@
+"""Registration losses, re-designed for XLA/TPU.
+
+Behavior-compatible with /root/reference/voxelmorph/tf/losses.py but with
+TPU-native mechanics:
+
+  * NCC's five ``conv(ones)`` box filters become **separable window sums**
+    (one 1-D sum-convolution per axis) — O(k*N) work instead of O(k^N) per
+    voxel — applied to a channel-pre-summed stack of [I, J, I^2, J^2, IJ] in a
+    single fused pass.
+  * KL's "degree matrix" is computed analytically as a closed-form constant
+    (neighbor counts) instead of convolving a ones-volume with an adjacency
+    kernel at every loss build.
+  * Everything is a pure function; classes are thin config carriers exposing
+    ``.loss(y_true, y_pred)`` like the reference.
+
+All losses assume channels-last batched tensors ``(B, *spatial, C)``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["NCC", "MSE", "TukeyBiweight", "Dice", "Grad", "KL", "MutualInformation"]
+
+
+def _window_sum(x: jnp.ndarray, win: Sequence[int]) -> jnp.ndarray:
+    """Separable moving-window sum with SAME zero padding over spatial axes.
+
+    x: (B, *spatial, C). Equivalent to convolving with an all-ones kernel of
+    shape ``win`` (per channel), computed as ndims successive 1-D convolutions.
+    """
+    ndims = x.ndim - 2
+    for d in range(ndims):
+        w = win[d]
+        if w == 1:
+            continue
+        axis = d + 1
+        # SAME padding: total w-1, split left/right like conv.
+        pad_lo = (w - 1) // 2
+        pad_hi = w - 1 - pad_lo
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (pad_lo, pad_hi)
+        xp = jnp.pad(x, pads)
+        c = jnp.cumsum(xp, axis=axis)
+        # window sum via cumsum difference: s[i] = c[i+w-1] - c[i-1]
+        zeros_shape = list(c.shape)
+        zeros_shape[axis] = 1
+        c = jnp.concatenate([jnp.zeros(zeros_shape, c.dtype), c], axis=axis)
+        n = x.shape[axis]
+        hi = jax.lax.slice_in_dim(c, w, w + n, axis=axis)
+        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+        x = hi - lo
+    return x
+
+
+class NCC:
+    """Local (windowed) normalized cross-correlation.
+
+    Matches the reference's windowed-NCC formulation (tf/losses.py:31-109):
+    window sums of I, J, I2, J2, IJ with SAME zero padding, eps-clamped cross
+    and variances, ``cc = (cross/I_var) * (cross/J_var)`` (or the signed
+    variant), reduced per batch element.
+    """
+
+    def __init__(self, win=None, eps: float = 1e-5, signed: bool = False):
+        self.win = win
+        self.eps = eps
+        self.signed = signed
+
+    def ncc(self, Ii: jnp.ndarray, Ji: jnp.ndarray) -> jnp.ndarray:
+        ndims = Ii.ndim - 2
+        assert ndims in (1, 2, 3), f"volumes should be 1 to 3 dimensions. found: {ndims}"
+        win = self.win
+        if win is None:
+            win = [9] * ndims
+        elif not isinstance(win, (list, tuple)):
+            win = [win] * ndims
+
+        in_ch = Ji.shape[-1]
+        # The reference's conv kernel sums over channels as well as the
+        # window; channel-sum commutes with the window sum, so pre-reduce.
+        stack = jnp.stack([Ii, Ji, Ii * Ii, Ji * Ji, Ii * Ji], axis=-1)  # (B,*S,C,5)
+        stack = jnp.sum(stack, axis=-2)  # (B,*S,5)
+        sums = _window_sum(stack, win)
+        I_sum, J_sum, I2_sum, J2_sum, IJ_sum = [sums[..., k:k + 1] for k in range(5)]
+
+        win_size = math.prod(win) * in_ch
+        u_I = I_sum / win_size
+        u_J = J_sum / win_size
+
+        cross = IJ_sum - u_J * I_sum - u_I * J_sum + u_I * u_J * win_size
+        cross = jnp.maximum(cross, self.eps)
+        I_var = jnp.maximum(I2_sum - 2 * u_I * I_sum + u_I * u_I * win_size, self.eps)
+        J_var = jnp.maximum(J2_sum - 2 * u_J * J_sum + u_J * u_J * win_size, self.eps)
+
+        if self.signed:
+            return cross / jnp.sqrt(I_var * J_var + self.eps)
+        return (cross / I_var) * (cross / J_var)
+
+    def loss(self, y_true, y_pred, reduce: Optional[str] = "mean"):
+        cc = self.ncc(y_true, y_pred)
+        flat = cc.reshape(cc.shape[0], -1)
+        if reduce == "mean":
+            cc = jnp.mean(flat, axis=-1)
+        elif reduce == "max":
+            cc = jnp.max(flat, axis=-1)
+        elif reduce is not None:
+            raise ValueError(f"Unknown NCC reduction type: {reduce}")
+        return -cc
+
+
+class MSE:
+    """Sigma-weighted mean squared error (tf/losses.py:112-134)."""
+
+    def __init__(self, image_sigma: float = 1.0):
+        self.image_sigma = image_sigma
+
+    def mse(self, y_true, y_pred):
+        return jnp.square(y_true - y_pred)
+
+    def loss(self, y_true, y_pred, reduce: Optional[str] = "mean"):
+        m = self.mse(y_true, y_pred)
+        if reduce == "mean":
+            m = jnp.mean(m)
+        elif reduce == "max":
+            m = jnp.max(m)
+        elif reduce is not None:
+            raise ValueError(f"Unknown MSE reduction type: {reduce}")
+        return (1.0 / (self.image_sigma ** 2)) * m
+
+
+class TukeyBiweight:
+    """Tukey biweight robust loss with clipping threshold c (tf/losses.py:137-161)."""
+
+    def __init__(self, c: float = 0.5):
+        self.csq = c * c
+
+    def loss(self, y_true, y_pred):
+        error_sq = (y_true - y_pred) ** 2
+        below = error_sq <= self.csq
+        rho_above = jnp.where(below, 0.0, self.csq / 2)
+        rho_below = (self.csq / 2) * (
+            1 - (1 - (jnp.where(below, error_sq, 0.0) / self.csq)) ** 3
+        )
+        return jnp.mean(rho_above + rho_below)
+
+
+class Dice:
+    """Soft Dice over one-hot probability maps (tf/losses.py:164-179)."""
+
+    def loss(self, y_true, y_pred):
+        ndims = y_pred.ndim - 2
+        vol_axes = tuple(range(1, ndims + 1))
+        top = 2 * jnp.sum(y_true * y_pred, axis=vol_axes)
+        bottom = jnp.sum(y_true + y_pred, axis=vol_axes)
+        dice = jnp.mean(jnp.where(bottom == 0, 0.0, top / jnp.where(bottom == 0, 1.0, bottom)))
+        return -dice
+
+
+class Grad:
+    """N-D first-order gradient penalty on a dense field (tf/losses.py:182-244).
+
+    Forward finite differences per axis; 'l1' or 'l2'; `loss_mult` compensates
+    for fields predicted at reduced resolution; optional `vox_weight`.
+    """
+
+    def __init__(self, penalty: str = "l1", loss_mult: Optional[float] = None,
+                 vox_weight: Optional[jnp.ndarray] = None):
+        self.penalty = penalty
+        self.loss_mult = loss_mult
+        self.vox_weight = vox_weight
+
+    def _diffs(self, y):
+        ndims = y.ndim - 2
+        df = []
+        for i in range(ndims):
+            axis = i + 1
+            n = y.shape[axis]
+            hi = jax.lax.slice_in_dim(y, 1, n, axis=axis)
+            lo = jax.lax.slice_in_dim(y, 0, n - 1, axis=axis)
+            d = hi - lo
+            if self.vox_weight is not None:
+                w = jax.lax.slice_in_dim(self.vox_weight, 1, n, axis=axis)
+                d = w * d
+            df.append(d)
+        return df
+
+    def loss(self, _, y_pred):
+        if self.penalty == "l1":
+            dif = [jnp.abs(f) for f in self._diffs(y_pred)]
+        else:
+            assert self.penalty == "l2", f"penalty can only be l1 or l2. Got: {self.penalty}"
+            dif = [f * f for f in self._diffs(y_pred)]
+        df = [jnp.mean(f.reshape(f.shape[0], -1), axis=-1) for f in dif]
+        grad = sum(df) / len(df)
+        if self.loss_mult is not None:
+            grad = grad * self.loss_mult
+        return grad
+
+    def mean_loss(self, y_true, y_pred):
+        return jnp.mean(self.loss(y_true, y_pred))
+
+
+def _degree_matrix(vol_shape: Sequence[int]) -> jnp.ndarray:
+    """Closed-form neighbor-count 'degree matrix' D of shape (1, *S, N).
+
+    D(x) = number of in-bounds +/-1 neighbors of x summed over all axes
+    (2 per interior axis, 1 at each face). Identical to convolving a
+    ones-volume with the reference's adjacency filter (tf/losses.py:257-292)
+    but computed analytically — it's a constant.
+    """
+    ndims = len(vol_shape)
+    per_axis = []
+    for d, s in enumerate(vol_shape):
+        n = jnp.full((s,), 2.0, dtype=jnp.float32)
+        n = n.at[0].set(1.0).at[-1].set(1.0)
+        shape = [1] * ndims
+        shape[d] = s
+        per_axis.append(n.reshape(shape))
+    deg = sum(jnp.broadcast_to(a, vol_shape) for a in per_axis)
+    return jnp.broadcast_to(deg[None, ..., None], (1, *vol_shape, ndims))
+
+
+class KL:
+    """MICCAI-2018 KL divergence for probabilistic (mean, log-sigma) flows.
+
+    ``y_pred`` carries 2N channels: N flow means then N log-variances.
+    Matches tf/losses.py:247-349 with the degree matrix precomputed in
+    closed form.
+    """
+
+    def __init__(self, prior_lambda: float, flow_vol_shape: Sequence[int]):
+        self.prior_lambda = prior_lambda
+        self.flow_vol_shape = tuple(flow_vol_shape)
+        self.D = _degree_matrix(self.flow_vol_shape)
+
+    def prec_loss(self, y_pred):
+        ndims = y_pred.ndim - 2
+        sm = 0.0
+        for i in range(ndims):
+            axis = i + 1
+            n = y_pred.shape[axis]
+            df = (jax.lax.slice_in_dim(y_pred, 1, n, axis=axis)
+                  - jax.lax.slice_in_dim(y_pred, 0, n - 1, axis=axis))
+            sm = sm + jnp.mean(df * df)
+        return 0.5 * sm / ndims
+
+    def loss(self, y_true, y_pred):
+        ndims = y_pred.ndim - 2
+        mean = y_pred[..., :ndims]
+        log_sigma = y_pred[..., ndims:]
+
+        sigma_term = self.prior_lambda * self.D * jnp.exp(log_sigma) - log_sigma
+        sigma_term = jnp.mean(sigma_term)
+        prec_term = self.prior_lambda * self.prec_loss(mean)
+        return 0.5 * ndims * (sigma_term + prec_term)
+
+
+class MutualInformation:
+    """Soft (Parzen-window) mutual information between intensity volumes.
+
+    Re-implementation of the neurite soft-binned MI used by the reference
+    (tf/losses.py:352-367): intensities are soft-assigned to `nb_bins` Gaussian
+    bins over [minval, maxval]; MI is computed from the joint soft histogram.
+    """
+
+    def __init__(self, nb_bins: int = 16, minval: float = 0.0, maxval: float = 1.0,
+                 sigma_ratio: float = 0.5):
+        self.nb_bins = nb_bins
+        bin_centers = jnp.linspace(minval, maxval, nb_bins)
+        self.bin_centers = bin_centers
+        sigma = jnp.mean(jnp.diff(bin_centers)) * sigma_ratio
+        self.preterm = 1.0 / (2 * sigma * sigma)
+
+    def volumes(self, y_true, y_pred):
+        # flatten to (B, V)
+        yt = jnp.clip(y_true, self.bin_centers[0], self.bin_centers[-1])
+        yp = jnp.clip(y_pred, self.bin_centers[0], self.bin_centers[-1])
+        yt = yt.reshape(yt.shape[0], -1, 1)
+        yp = yp.reshape(yp.shape[0], -1, 1)
+        vbc = self.bin_centers.reshape(1, 1, -1)
+
+        # soft bin memberships (B, V, K), normalized over bins
+        I_a = jnp.exp(-self.preterm * jnp.square(yt - vbc))
+        I_a = I_a / jnp.sum(I_a, axis=-1, keepdims=True)
+        I_b = jnp.exp(-self.preterm * jnp.square(yp - vbc))
+        I_b = I_b / jnp.sum(I_b, axis=-1, keepdims=True)
+
+        nb_voxels = yt.shape[1]
+        pab = jnp.einsum("bvk,bvl->bkl", I_a, I_b) / nb_voxels
+        pa = jnp.mean(I_a, axis=1, keepdims=True)  # (B,1,K)
+        pb = jnp.mean(I_b, axis=1, keepdims=True)  # (B,1,K)
+        papb = jnp.einsum("bik,bil->bkl", pa, pb) + 1e-8
+        return jnp.sum(pab * jnp.log(pab / papb + 1e-8), axis=(1, 2))
+
+    def loss(self, y_true, y_pred):
+        return -self.volumes(y_true, y_pred)

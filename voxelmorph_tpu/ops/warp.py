@@ -1,0 +1,277 @@
+"""Dense-warp operations: apply, compose, rescale, and integrate transforms.
+
+TPU-first re-design of the reference's deformation utilities
+(/root/reference/voxelmorph/tf/utils/utils.py:96-499). Key departures from the
+reference implementation (behavior preserved, mechanics re-thought):
+
+  * No per-sample ``tf.map_fn`` anywhere — batching is ``jax.vmap`` at the
+    layer level, which XLA fuses into batched gathers.
+  * Scaling-and-squaring integration is a compile-time-unrolled loop of
+    warp self-composition with optional rematerialization (``jax.checkpoint``)
+    so the 7-step backward pass doesn't hold 7 full fields in HBM.
+  * Everything is a pure function of arrays; transforms are float32 (or the
+    caller's float dtype) end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .affine import affine_to_dense_shift, is_affine_shape, make_square_affine
+from .interp import interpn, ndgrid, resize
+
+__all__ = [
+    "transform",
+    "batch_transform",
+    "compose",
+    "rescale_dense_transform",
+    "integrate_vec",
+    "point_spatial_transformer",
+    "value_at_location",
+    "jacobian_determinant",
+]
+
+
+def transform(
+    vol: jnp.ndarray,
+    loc_shift: jnp.ndarray,
+    interp_method: str = "linear",
+    fill_value: Optional[float] = None,
+    shift_center: bool = True,
+    shape: Optional[Sequence[int]] = None,
+) -> jnp.ndarray:
+    """Apply an affine or dense transform to a single (non-batched) image.
+
+    ``loc_shift`` moves *data*: the output at x holds the input at
+    ``x + loc_shift(x)`` (pull/backward warping), exactly the reference
+    semantics (tf/utils/utils.py:96-174).
+
+    Args:
+      vol: ``(*vol_shape, C)`` (or ``(*vol_shape,)``) input image.
+      loc_shift: affine ``(N, N+1)``/``(N+1, N+1)`` matrix, or a dense shift of
+        shape ``(*out_shape, N)`` or channelwise ``(*out_shape, C, N)``.
+      interp_method: 'linear' or 'nearest'.
+      fill_value: out-of-domain fill; None = clamp to edge.
+      shift_center: center the grid when densifying an affine.
+      shape: output spatial shape when densifying an affine (incompatible
+        with shift_center=True).
+    """
+    if shape is not None and shift_center:
+        raise ValueError("`shape` option incompatible with `shift_center=True`")
+
+    if not jnp.issubdtype(vol.dtype, jnp.floating):
+        vol = vol.astype(jnp.float32)
+    if not jnp.issubdtype(loc_shift.dtype, jnp.floating):
+        loc_shift = loc_shift.astype(jnp.float32)
+
+    squeeze_channel = False
+    if is_affine_shape(loc_shift.shape):
+        target_shape = vol.shape[:-1] if shape is None else shape
+        if vol.ndim == loc_shift.shape[-1] - 1:  # vol has no channel axis
+            target_shape = vol.shape if shape is None else shape
+            vol = vol[..., None]
+            squeeze_channel = True
+        loc_shift = affine_to_dense_shift(loc_shift, shape=target_shape,
+                                          shift_center=shift_center)
+    nb_dims = loc_shift.shape[-1]
+    if vol.ndim == nb_dims:
+        vol = vol[..., None]
+        squeeze_channel = True
+
+    loc_volshape = loc_shift.shape[:-1]
+    is_channelwise = len(loc_volshape) == vol.ndim  # (*out, C, N) vs (*out, N)
+
+    if is_channelwise:
+        # One flow per channel: interpolate each channel with its own field.
+        # The reference emulates this by appending the channel coordinate to
+        # the lookup; a channel-vmap is equivalent and avoids a (D+1)-D gather.
+        out = jax.vmap(
+            lambda v, s: transform(v[..., None], s, interp_method=interp_method,
+                                   fill_value=fill_value)[..., 0],
+            in_axes=(-1, -2),
+            out_axes=-1,
+        )(vol, loc_shift)
+        return out[..., 0] if squeeze_channel else out
+
+    grid = ndgrid(loc_volshape, dtype=loc_shift.dtype)
+    loc = grid + loc_shift
+    out = interpn(vol, loc, interp_method=interp_method, fill_value=fill_value)
+    return out[..., 0] if squeeze_channel else out
+
+
+def batch_transform(
+    vol: jnp.ndarray,
+    loc_shift: jnp.ndarray,
+    interp_method: str = "linear",
+    fill_value: Optional[float] = None,
+) -> jnp.ndarray:
+    """Batched channelwise transform: vol (B, *S, C), loc_shift (B, *S', C, N).
+
+    Also accepts loc_shift (B, *S', N), broadcast across channels. Implemented
+    with vmap over the batch (the reference reshapes batch into channels;
+    tf/utils/utils.py:177-250).
+    """
+    if loc_shift.ndim == vol.ndim:
+        fn = lambda v, s: transform(v, s, interp_method=interp_method, fill_value=fill_value)
+    elif loc_shift.ndim == vol.ndim + 1:
+        fn = lambda v, s: transform(v, s, interp_method=interp_method, fill_value=fill_value)
+    else:
+        raise ValueError(
+            f"loc_shift rank {loc_shift.ndim} incompatible with vol rank {vol.ndim}"
+        )
+    return jax.vmap(fn)(vol, loc_shift)
+
+
+def compose(
+    transforms: Sequence[jnp.ndarray],
+    interp_method: str = "linear",
+    shift_center: bool = True,
+    shape: Optional[Sequence[int]] = None,
+) -> jnp.ndarray:
+    """Compose transforms listed in application order: compose([A, B, C])(x) = C(B(A(x))).
+
+    Affine-only chains stay affine (matrix product); any dense member makes
+    the result dense. Matches tf/utils/utils.py:253-318.
+    """
+    if len(transforms) == 0:
+        raise ValueError("Compose transform list cannot be empty")
+
+    curr = None
+    for nxt in reversed([jnp.asarray(t) for t in transforms]):
+        if not jnp.issubdtype(nxt.dtype, jnp.floating):
+            nxt = nxt.astype(jnp.float32)
+        if curr is None:
+            curr = nxt
+            continue
+
+        if not is_affine_shape(nxt.shape):
+            # Dense on the left of the chain position: warp-compose.
+            if is_affine_shape(curr.shape):
+                curr = affine_to_dense_shift(
+                    curr,
+                    shape=nxt.shape[:-1] if shape is None else shape,
+                    shift_center=shift_center,
+                )
+            curr = curr + transform(nxt, curr, interp_method=interp_method)
+        elif not is_affine_shape(curr.shape):
+            # Matrix left, dense right: fold the dense warp into the matmul.
+            curr = affine_to_dense_shift(
+                nxt, shape=curr.shape[:-1], shift_center=shift_center, warp_right=curr
+            )
+        else:
+            curr = (make_square_affine(nxt) @ make_square_affine(curr))[:-1]
+
+    return curr
+
+
+def rescale_dense_transform(trf: jnp.ndarray, factor, interp_method: str = "linear") -> jnp.ndarray:
+    """Resize a dense warp and rescale its vectors by ``factor``.
+
+    Multiplies in the smaller space to save HBM traffic (same trick as the
+    reference, tf/utils/utils.py:331-339). Accepts batched or single fields.
+    """
+
+    def single(f):
+        if factor < 1:
+            f = resize(f, factor, interp_method=interp_method)
+            return f * factor
+        f = f * factor
+        return resize(f, factor, interp_method=interp_method)
+
+    ndims = trf.shape[-1]
+    if trf.ndim > ndims + 1:  # batched
+        return jax.vmap(single)(trf)
+    return single(trf)
+
+
+def integrate_vec(
+    vec: jnp.ndarray,
+    method: str = "ss",
+    nb_steps: int = 7,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Integrate a stationary velocity field to a displacement field.
+
+    'ss' (scaling and squaring): ``v /= 2**n`` then n self-compositions
+    ``v <- v + v o (id + v)``. 'quadrature': ``v /= n`` then n-1 compositions
+    of the *original* scaled field along the running displacement. Semantics
+    per tf/utils/utils.py:392-426, integrating to time 1.
+
+    Args:
+      vec: ``(*vol_shape, N)`` velocity field (single sample; vmap for batch).
+      remat: rematerialize each squaring step in the backward pass, trading
+        recompute for not keeping every intermediate field in HBM.
+    """
+    if method in ("ss", "scaling_and_squaring"):
+        assert nb_steps >= 0, f"nb_steps should be >= 0, found: {nb_steps}"
+        vec = vec / (2.0 ** nb_steps)
+        step = lambda v: v + transform(v, v)
+        if remat:
+            step = jax.checkpoint(step)
+        for _ in range(nb_steps):
+            vec = step(vec)
+        return vec
+    elif method == "quadrature":
+        assert nb_steps >= 1, f"nb_steps should be >= 1, found: {nb_steps}"
+        vec = vec / nb_steps
+        disp = vec
+        step = lambda d: d + transform(vec, d)
+        if remat:
+            step = jax.checkpoint(step)
+        for _ in range(nb_steps - 1):
+            disp = step(disp)
+        return disp
+    raise ValueError(f"method must be 'ss' or 'quadrature', found: {method}")
+
+
+def point_spatial_transformer(
+    points: jnp.ndarray, trf: jnp.ndarray, sdt_vol_resize: float = 1.0
+) -> jnp.ndarray:
+    """Warp surface points with a dense transform (single sample).
+
+    The displacement field that moves image A->B lives in B-space, so it maps
+    *points* from B to A by direct interpolation at the point locations
+    (tf/utils/utils.py:465-499). Points may carry one trailing extra feature
+    (e.g. an SDT resize factor) which is passed through untouched.
+    """
+    trf = trf * sdt_vol_resize
+    pts_d = points.shape[-1]
+    trf_d = trf.shape[-1]
+    assert pts_d in (trf_d, trf_d + 1)
+    extra = None
+    if pts_d == trf_d + 1:
+        extra = points[..., -1:]
+        points = points[..., :-1]
+    diff = interpn(trf, points, interp_method="linear")
+    out = points + diff
+    if extra is not None:
+        out = jnp.concatenate([out, extra], axis=-1)
+    return out
+
+
+def value_at_location(
+    vol: jnp.ndarray, points: jnp.ndarray, force_post_absolute_val: bool = True
+) -> jnp.ndarray:
+    """Interpolate a volume at a point cloud (single sample); optional abs()."""
+    out = interpn(vol, points, interp_method="linear")
+    return jnp.abs(out) if force_post_absolute_val else out
+
+
+def jacobian_determinant(disp: jnp.ndarray) -> jnp.ndarray:
+    """Jacobian determinant of a dense displacement (single sample, jnp).
+
+    ``disp`` is (*vol_shape, N) with N = 2 or 3; the Jacobian is of id + disp
+    with central differences (np.gradient convention), mirroring the
+    reference's numpy version (/root/reference/voxelmorph/py/utils.py:473-516).
+    """
+    nd = disp.shape[-1]
+    assert nd in (2, 3), "flow has to be 2D or 3D"
+    grid = ndgrid(disp.shape[:-1], dtype=disp.dtype)
+    J = jnp.stack(jnp.gradient(grid + disp, axis=tuple(range(nd))), axis=-1)
+    # J[..., i, j] = d(phi_i)/d(x_j)
+    if nd == 3:
+        return jnp.linalg.det(J)
+    return jnp.linalg.det(J)
