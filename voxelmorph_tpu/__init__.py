@@ -3,4 +3,4 @@ registration framework with the capabilities of voxelmorph/voxelmorph."""
 
 __version__ = "0.1.0"
 
-from . import layers, losses, ops
+from . import generators, layers, losses, ops, py
