@@ -1,0 +1,202 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxelmorph_tpu.models import VxmDense, InstanceDense, Transform, Unet
+from voxelmorph_tpu.models import save_model, load_model
+
+
+RNG = np.random.default_rng(5)
+SHAPE2D = (16, 16)
+SHAPE3D = (16, 16, 16)
+
+
+def make_vxm(**kw):
+    defaults = dict(inshape=SHAPE2D, int_steps=3, int_resolution=2)
+    defaults.update(kw)
+    return VxmDense(**defaults)
+
+
+def init_and_apply(model, *inputs, rngs=None, **kw):
+    rngs = rngs or {}
+    params = model.init({"params": jax.random.PRNGKey(0), **rngs}, *inputs, **kw)["params"]
+    out = model.apply({"params": params}, *inputs, rngs=rngs, **kw)
+    return params, out
+
+
+def test_unet_default_output_channels():
+    model = Unet(ndims=2)
+    x = jnp.zeros((1, 16, 16, 2))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 16, 16, 16)  # final decoder feature = 16
+
+
+def test_unet_upsample_skips_halves_resolution():
+    model = Unet(ndims=2, nb_upsample_skips=1)
+    x = jnp.zeros((1, 16, 16, 2))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape[1:3] == (8, 8)
+
+
+def test_vxm_dense_forward_shapes():
+    model = make_vxm()
+    src = jnp.asarray(RNG.normal(size=(2, *SHAPE2D, 1)).astype(np.float32))
+    trg = jnp.asarray(RNG.normal(size=(2, *SHAPE2D, 1)).astype(np.float32))
+    params, out = init_and_apply(model, src, trg)
+    assert out["y_source"].shape == (2, *SHAPE2D, 1)
+    assert out["pos_flow"].shape == (2, *SHAPE2D, 2)
+    assert out["preint_flow"].shape == (2, 8, 8, 2)
+    assert out["reg"].shape == (2, 8, 8, 2)  # preintegrated default
+
+
+def test_vxm_dense_initial_flow_is_tiny():
+    model = make_vxm()
+    src = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    trg = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    _, out = init_and_apply(model, src, trg)
+    # flow conv init N(0, 1e-5): warp ~ 0 and y_source ~ source
+    assert float(jnp.abs(out["pos_flow"]).max()) < 1e-2
+    np.testing.assert_allclose(np.asarray(out["y_source"]), np.asarray(src), atol=1e-2)
+
+
+def test_vxm_dense_bidir():
+    model = make_vxm(bidir=True)
+    src = jnp.zeros((1, *SHAPE2D, 1))
+    trg = jnp.zeros((1, *SHAPE2D, 1))
+    _, out = init_and_apply(model, src, trg)
+    assert "y_target" in out and "neg_flow" in out
+
+
+def test_vxm_dense_probabilistic():
+    model = make_vxm(use_probs=True)
+    src = jnp.zeros((1, *SHAPE2D, 1))
+    trg = jnp.zeros((1, *SHAPE2D, 1))
+    rngs = {"sample": jax.random.PRNGKey(1)}
+    params, out = init_and_apply(model, src, trg, rngs=rngs)
+    # flow_params live at the svf (unet output) resolution — full res here
+    assert out["flow_params"].shape == (1, *SHAPE2D, 4)
+    assert out["reg"].shape == (1, *SHAPE2D, 4)
+    # logsigma bias init -10: sampled flow noise std ~ exp(-5) — tiny
+    assert float(jnp.abs(out["pos_flow"]).max()) < 1e-1
+
+
+def test_vxm_dense_cvpr_mode_int_steps_0():
+    model = make_vxm(int_steps=0, int_resolution=1)
+    src = jnp.zeros((1, *SHAPE2D, 1))
+    trg = jnp.zeros((1, *SHAPE2D, 1))
+    _, out = init_and_apply(model, src, trg)
+    assert out["preint_flow"].shape == (1, *SHAPE2D, 2)
+    assert out["pos_flow"].shape == (1, *SHAPE2D, 2)
+
+
+def test_vxm_dense_svf_resolution():
+    model = make_vxm(svf_resolution=2, int_steps=3, int_resolution=2)
+    src = jnp.zeros((1, *SHAPE2D, 1))
+    trg = jnp.zeros((1, *SHAPE2D, 1))
+    _, out = init_and_apply(model, src, trg)
+    assert out["svf"].shape == (1, 8, 8, 2)
+    assert out["pos_flow"].shape == (1, *SHAPE2D, 2)
+
+
+def test_vxm_dense_reg_field_options():
+    for reg_field, shape in [("svf", SHAPE2D), ("preintegrated", (8, 8)),
+                             ("postintegrated", (8, 8)), ("warp", SHAPE2D)]:
+        model = make_vxm(reg_field=reg_field, svf_resolution=1)
+        src = jnp.zeros((1, *SHAPE2D, 1))
+        trg = jnp.zeros((1, *SHAPE2D, 1))
+        _, out = init_and_apply(model, src, trg)
+        assert out["reg"].shape == (1, *shape, 2), reg_field
+
+
+def test_vxm_3d_smoke():
+    model = VxmDense(inshape=SHAPE3D, int_steps=2)
+    src = jnp.zeros((1, *SHAPE3D, 1))
+    trg = jnp.zeros((1, *SHAPE3D, 1))
+    _, out = init_and_apply(model, src, trg)
+    assert out["y_source"].shape == (1, *SHAPE3D, 1)
+    assert out["pos_flow"].shape == (1, *SHAPE3D, 3)
+
+
+def test_instance_dense():
+    model = InstanceDense(inshape=SHAPE2D, int_steps=2)
+    src = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    params, out = init_and_apply(model, src)
+    assert out["y_source"].shape == (1, *SHAPE2D, 1)
+    assert params["flow"].shape == (1, 8, 8, 2)
+
+
+def test_transform_model():
+    img = jnp.asarray(RNG.normal(size=(1, 8, 8, 1)).astype(np.float32))
+    trf = jnp.zeros((1, 8, 8, 2))
+    model = Transform()
+    out = model.apply({"params": {}}, img, trf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_hyper_vxm_dense():
+    model = make_vxm(hyper=True)
+    src = jnp.zeros((1, *SHAPE2D, 1))
+    trg = jnp.zeros((1, *SHAPE2D, 1))
+    hyp = jnp.asarray([[0.5]])
+    # add a hypernetwork embedding input
+    params = model.init(jax.random.PRNGKey(0), src, trg, hyp=hyp)["params"]
+    out = model.apply({"params": params}, src, trg, hyp=hyp)
+    assert out["y_source"].shape == (1, *SHAPE2D, 1)
+    # different hyp -> different unet output (kernels are hyp-generated)
+    src2 = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    out1 = model.apply({"params": params}, src2, trg, hyp=jnp.asarray([[0.1]]))
+    out2 = model.apply({"params": params}, src2, trg, hyp=jnp.asarray([[5.0]]))
+    assert not np.allclose(np.asarray(out1["pos_flow"]), np.asarray(out2["pos_flow"]))
+
+
+def test_save_load_round_trip(tmp_path):
+    model = make_vxm()
+    src = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    trg = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    params, out = init_and_apply(model, src, trg)
+
+    path = str(tmp_path / "model.npz")
+    save_model(path, model, params)
+    model2, params2 = load_model(path)
+    out2 = model2.apply({"params": params2}, src, trg)
+    np.testing.assert_allclose(np.asarray(out["y_source"]),
+                               np.asarray(out2["y_source"]), atol=1e-6)
+
+
+def test_vxm_overfits_toy_pair():
+    """End-to-end: a few Adam steps reduce MSE on a fixed pair."""
+    import optax
+    from voxelmorph_tpu import losses as L
+
+    model = make_vxm(int_steps=0, int_resolution=1, nb_unet_features=[[8, 8], [8, 8]])
+    # smooth toy images
+    xx, yy = np.meshgrid(np.arange(16.0), np.arange(16.0), indexing="ij")
+    src = np.exp(-((xx - 7) ** 2 + (yy - 7) ** 2) / 8.0)[None, ..., None].astype(np.float32)
+    trg = np.exp(-((xx - 9) ** 2 + (yy - 8) ** 2) / 8.0)[None, ..., None].astype(np.float32)
+    src, trg = jnp.asarray(src), jnp.asarray(trg)
+
+    params = model.init(jax.random.PRNGKey(0), src, trg)["params"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    mse = L.MSE()
+    grad_loss = L.Grad("l2")
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p}, src, trg)
+            return mse.loss(trg, out["y_source"]) + \
+                0.01 * jnp.mean(grad_loss.loss(None, out["reg"]))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses

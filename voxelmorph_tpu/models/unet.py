@@ -1,0 +1,233 @@
+"""Configurable N-D U-Net in flax, with optional hypernetwork-generated convs.
+
+Re-designed from the reference's Keras Unet (/root/reference/voxelmorph/tf/
+networks.py:1032-1185): same architecture family — encoder of
+conv(k3)+LeakyReLU(0.2) blocks with max-pool downsampling, decoder with
+nearest-upsample + skip-concat, surplus full-resolution "final convs", and
+``nb_upsample_skips`` to emit the output at reduced resolution. Defaults are
+the reference's enc [16,32,32,32] / dec [32,32,32,32,32,16,16].
+
+TPU-first mechanics:
+  * channels-last layout, convs lowered by XLA onto the MXU;
+  * a ``dtype`` knob for bfloat16 compute with float32 params;
+  * HyperMorph conditioning is a functional pattern: a small Dense head
+    generates each conv's kernel/bias from the hypernetwork embedding and the
+    conv is applied per-sample via vmap (replacing neurite's
+    HyperConvFromDense layers, tf/networks.py:1695-1728).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Unet", "ConvBlock", "HyperConv", "default_unet_features", "build_feature_lists"]
+
+
+def default_unet_features():
+    return [
+        [16, 32, 32, 32],
+        [32, 32, 32, 32, 32, 16, 16],
+    ]
+
+
+def build_feature_lists(nb_features=None, nb_levels=None, feat_mult=1,
+                        nb_conv_per_level=1) -> Tuple[list, list]:
+    """Resolve the (encoder, decoder) feature lists from the flexible spec."""
+    if nb_features is None:
+        nb_features = default_unet_features()
+    if isinstance(nb_features, int):
+        if nb_levels is None:
+            raise ValueError("must provide unet nb_levels if nb_features is an integer")
+        feats = np.round(nb_features * feat_mult ** np.arange(nb_levels)).astype(int)
+        enc = np.repeat(feats[:-1], nb_conv_per_level).tolist()
+        dec = np.repeat(np.flip(feats), nb_conv_per_level).tolist()
+        return enc, dec
+    if nb_levels is not None:
+        raise ValueError("cannot use nb_levels if nb_features is not an integer")
+    enc, dec = nb_features
+    return list(enc), list(dec)
+
+
+def _leaky_relu(x):
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class HyperConv(nn.Module):
+    """Convolution whose kernel and bias are generated from a hyper embedding.
+
+    The Dense generators' biases act as the "base" kernel (initialized
+    he-normal / zeros), so at initialization the layer behaves like a plain
+    conv perturbed by a small hyp-dependent term.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hyp):
+        # x: (B, *spatial, C); hyp: (B, H)
+        in_ch = x.shape[-1]
+        kshape = (*self.kernel_size, in_ch, self.features)
+        ksize = int(np.prod(kshape))
+
+        fan_in = int(np.prod(self.kernel_size)) * in_ch
+        he_std = float(np.sqrt(2.0 / fan_in))
+
+        def base_kernel_init(key, shape, dtype=jnp.float32):
+            return jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype) * he_std
+
+        kernel_flat = nn.Dense(
+            ksize, name="kernel_gen",
+            kernel_init=nn.initializers.normal(1e-3),
+            bias_init=base_kernel_init,
+            dtype=self.dtype)(hyp)
+        bias = nn.Dense(
+            self.features, name="bias_gen",
+            kernel_init=nn.initializers.normal(1e-3),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype)(hyp)
+
+        kernels = kernel_flat.reshape(-1, *kshape)  # (B, *k, Cin, Cout)
+        nd = len(self.kernel_size)
+        spatial = "DHW"[-nd:] if nd <= 3 else None
+        assert spatial is not None, "HyperConv supports up to 3 spatial dims"
+        dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+
+        def single(xi, ki):
+            return jax.lax.conv_general_dilated(
+                xi[None].astype(self.dtype), ki.astype(self.dtype),
+                window_strides=(1,) * nd, padding="SAME",
+                dimension_numbers=dn)[0]
+
+        out = jax.vmap(single)(x, kernels)
+        return out + bias.reshape(bias.shape[0], *([1] * nd), self.features)
+
+
+class ConvBlock(nn.Module):
+    """conv(k3, he_normal) [+ residual] + LeakyReLU(0.2)."""
+
+    features: int
+    ndims: int
+    strides: int = 1
+    do_res: bool = False
+    include_activation: bool = True
+    hyper: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hyp=None):
+        k = (3,) * self.ndims
+        if self.hyper:
+            out = HyperConv(self.features, k, dtype=self.dtype, name="conv")(x, hyp)
+        else:
+            out = nn.Conv(self.features, k, strides=(self.strides,) * self.ndims,
+                          padding="SAME", kernel_init=nn.initializers.he_normal(),
+                          dtype=self.dtype, name="conv")(x)
+        if self.do_res:
+            add = x
+            if self.features != x.shape[-1]:
+                if self.hyper:
+                    add = HyperConv(self.features, k, dtype=self.dtype, name="resfix")(x, hyp)
+                else:
+                    add = nn.Conv(self.features, k, padding="SAME",
+                                  kernel_init=nn.initializers.he_normal(),
+                                  dtype=self.dtype, name="resfix")(x)
+            out = out + add
+        if self.include_activation:
+            out = _leaky_relu(out)
+        return out
+
+
+def _upsample_nearest(x, factor: int, ndims: int):
+    for d in range(ndims):
+        x = jnp.repeat(x, factor, axis=d + 1)
+    return x
+
+
+class Unet(nn.Module):
+    """N-D encoder-decoder with skip connections.
+
+    Attributes follow the reference constructor: nb_features (list-of-lists or
+    int + nb_levels/feat_mult/nb_conv_per_level), max_pool factor(s),
+    nb_upsample_skips, do_res, final_activation_function, and `hyper` to
+    enable hypernetwork-generated convolutions (pass `hyp` at call time).
+    """
+
+    ndims: int
+    nb_features: Any = None
+    nb_levels: Optional[int] = None
+    max_pool: Any = 2
+    feat_mult: int = 1
+    nb_conv_per_level: int = 1
+    do_res: bool = False
+    nb_upsample_skips: int = 0
+    hyper: bool = False
+    final_activation_function: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, hyp=None):
+        enc_nf, dec_nf = build_feature_lists(
+            self.nb_features, self.nb_levels, self.feat_mult, self.nb_conv_per_level)
+
+        nb_dec_convs = len(enc_nf)
+        final_convs = dec_nf[nb_dec_convs:]
+        dec_nf = dec_nf[:nb_dec_convs]
+        nb_levels = int(nb_dec_convs / self.nb_conv_per_level) + 1
+
+        max_pool = self.max_pool
+        if isinstance(max_pool, int):
+            max_pool = [max_pool] * nb_levels
+
+        def conv_block(h, nf, name, include_activation=True):
+            return ConvBlock(nf, self.ndims, do_res=self.do_res,
+                             include_activation=include_activation,
+                             hyper=self.hyper, dtype=self.dtype, name=name)(h, hyp)
+
+        # encoder
+        enc_layers = []
+        last = x.astype(self.dtype)
+        for level in range(nb_levels - 1):
+            for conv in range(self.nb_conv_per_level):
+                nf = enc_nf[level * self.nb_conv_per_level + conv]
+                last = conv_block(last, nf, f"enc_conv_{level}_{conv}")
+            enc_layers.append(last)
+            w = (max_pool[level],) * self.ndims
+            last = nn.max_pool(last, window_shape=w, strides=w)
+
+        if self.final_activation_function is not None and len(final_convs) == 0:
+            activate = lambda lvl, c: not (
+                lvl == (nb_levels - 2) and c == (self.nb_conv_per_level - 1))
+        else:
+            activate = lambda lvl, c: True
+
+        # decoder
+        for level in range(nb_levels - 1):
+            real_level = nb_levels - level - 2
+            for conv in range(self.nb_conv_per_level):
+                nf = dec_nf[level * self.nb_conv_per_level + conv]
+                last = conv_block(last, nf, f"dec_conv_{real_level}_{conv}",
+                                  include_activation=activate(level, conv))
+            if level < (nb_levels - 1 - self.nb_upsample_skips):
+                last = _upsample_nearest(last, max_pool[real_level], self.ndims)
+                last = jnp.concatenate([last, enc_layers.pop()], axis=-1)
+
+        if self.final_activation_function is not None:
+            activate_final = lambda n: n != (len(final_convs) - 1)
+        else:
+            activate_final = lambda n: True
+
+        for num, nf in enumerate(final_convs):
+            last = conv_block(last, nf, f"dec_final_conv_{num}",
+                              include_activation=activate_final(num))
+
+        if self.final_activation_function is not None:
+            last = getattr(nn, self.final_activation_function)(last)
+
+        return last

@@ -1,0 +1,231 @@
+"""VxmDense and close variants as flax modules.
+
+Behavioral rebuild of /root/reference/voxelmorph/tf/networks.py:42-571. Each
+model is a pure function of (params, inputs, rng) returning a dict of named
+tensors — the JAX analog of the reference's ``references`` container
+(tf/networks.py:250-262) — from which training wirings pick their loss
+inputs. Inference fuses warp prediction and image warping into one jitted
+call (the reference runs two separate Keras predicts; see SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import warp as warp_ops
+from ..ops.interp import resize as _resize
+from .unet import Unet
+
+__all__ = ["VxmDense", "InstanceDense", "Transform", "rescale_flow"]
+
+
+def rescale_flow(flow, factor, batched=True):
+    """Rescale a (batched) dense flow by a spatial factor (resize + scale)."""
+    if factor == 1:
+        return flow
+    fn = lambda f: warp_ops.rescale_dense_transform(f, factor)
+    return jax.vmap(fn)(flow) if batched else fn(flow)
+
+
+class VxmDense(nn.Module):
+    """Dense unsupervised registration network.
+
+    Forward: concat(source, target) -> U-Net -> flow conv (N(0,1e-5) init)
+    [-> probabilistic logsigma head + reparameterized sample] -> rescale to
+    svf/integration resolution -> scaling-and-squaring VecInt -> rescale to
+    full resolution -> SpatialTransformer warp. Mirrors tf/networks.py:42-262.
+
+    Call returns a dict with keys: y_source, (y_target,) svf, preint_flow,
+    postint_flow, pos_flow, (neg_flow,) (flow_params,) and reg — the tensor
+    selected by ``reg_field`` for the regularization loss.
+    """
+
+    inshape: Sequence[int]
+    nb_unet_features: Any = None
+    nb_unet_levels: Optional[int] = None
+    unet_feat_mult: int = 1
+    nb_unet_conv_per_level: int = 1
+    int_steps: int = 7
+    svf_resolution: int = 1
+    int_resolution: int = 2
+    bidir: bool = False
+    use_probs: bool = False
+    src_feats: int = 1
+    trg_feats: int = 1
+    fill_value: Optional[float] = None
+    reg_field: str = "preintegrated"
+    hyper: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, source, target, hyp=None, train: bool = True):
+        ndims = len(self.inshape)
+        assert ndims in (1, 2, 3), f"ndims should be one of 1, 2, or 3. found: {ndims}"
+
+        # number of decoder upsamplings to skip so the unet emits at svf res
+        nb_upsample_skips = int(np.floor(np.log(self.svf_resolution) / np.log(2)))
+
+        x = jnp.concatenate([source, target], axis=-1)
+        x = Unet(
+            ndims=ndims,
+            nb_features=self.nb_unet_features,
+            nb_levels=self.nb_unet_levels,
+            feat_mult=self.unet_feat_mult,
+            nb_conv_per_level=self.nb_unet_conv_per_level,
+            nb_upsample_skips=nb_upsample_skips,
+            hyper=self.hyper,
+            dtype=self.dtype,
+            name="unet",
+        )(x, hyp)
+        x = x.astype(jnp.float32)
+
+        k = (3,) * ndims
+        flow_mean = nn.Conv(ndims, k, padding="SAME",
+                            kernel_init=nn.initializers.normal(1e-5),
+                            name="flow")(x)
+
+        outputs = {}
+        if self.use_probs:
+            flow_logsigma = nn.Conv(
+                ndims, k, padding="SAME",
+                kernel_init=nn.initializers.normal(1e-10),
+                bias_init=nn.initializers.constant(-10.0),
+                name="log_sigma")(x)
+            outputs["flow_params"] = jnp.concatenate([flow_mean, flow_logsigma], axis=-1)
+            if train:
+                eps = jax.random.normal(self.make_rng("sample"), flow_mean.shape)
+            else:
+                eps = jnp.zeros_like(flow_mean)
+            flow = flow_mean + jnp.exp(flow_logsigma / 2.0) * eps
+        else:
+            flow = flow_mean
+
+        # rescale to the exact svf grid if the unet grid differs (rounding)
+        pre_svf_size = np.array(flow.shape[1:-1])
+        svf_size = np.array([int(np.round(d / self.svf_resolution)) for d in self.inshape])
+        if not np.array_equal(pre_svf_size, svf_size):
+            factor = svf_size[0] / pre_svf_size[0]
+            flow = rescale_flow(flow, factor)
+        outputs["svf"] = flow
+
+        # rescale to integration resolution
+        int_size = np.array([int(np.round(d / self.int_resolution)) for d in self.inshape])
+        if self.int_steps > 0 and self.int_resolution > 1 and \
+                not np.array_equal(svf_size, int_size):
+            factor = int_size[0] / svf_size[0]
+            flow = rescale_flow(flow, factor)
+        outputs["preint_flow"] = flow
+
+        pos_flow = flow
+        neg_flow = -flow if self.bidir else None
+
+        if self.int_steps > 0:
+            integrate = lambda v: warp_ops.integrate_vec(
+                v, method="ss", nb_steps=self.int_steps)
+            pos_flow = jax.vmap(integrate)(pos_flow)
+            if self.bidir:
+                neg_flow = jax.vmap(integrate)(neg_flow)
+        outputs["postint_flow"] = pos_flow
+
+        # back to full resolution
+        if self.int_steps > 0 and self.int_resolution > 1:
+            factor = self.inshape[0] / int_size[0]
+            pos_flow = rescale_flow(pos_flow, factor)
+            if self.bidir:
+                neg_flow = rescale_flow(neg_flow, factor)
+
+        warp = lambda img, w: jax.vmap(
+            lambda i, f: warp_ops.transform(i, f, fill_value=self.fill_value)
+        )(img, w)
+        y_source = warp(source.astype(jnp.float32), pos_flow)
+        outputs["y_source"] = y_source
+        outputs["pos_flow"] = pos_flow
+        if self.bidir:
+            outputs["y_target"] = warp(target.astype(jnp.float32), neg_flow)
+            outputs["neg_flow"] = neg_flow
+
+        if self.use_probs:
+            outputs["reg"] = outputs["flow_params"]
+        else:
+            field = {
+                "svf": outputs["svf"],
+                "preintegrated": outputs["preint_flow"],
+                "postintegrated": outputs["postint_flow"],
+                "warp": pos_flow,
+            }
+            if self.reg_field.lower() not in field:
+                raise ValueError(f'Unknown option "{self.reg_field}" for reg_field.')
+            outputs["reg"] = field[self.reg_field.lower()]
+
+        return outputs
+
+
+class InstanceDense(nn.Module):
+    """Instance-specific optimization: a trainable flow field (no network).
+
+    The flow is a learnable parameter of shape (1, *inshape/int_resolution, N)
+    scaled by ``mult``, integrated and applied to the source — matching
+    tf/networks.py:493-571 where it is a LocalParamWithInput with mult=1000.
+    Warm-start via ``set_flow``-style param injection (divide by mult).
+    """
+
+    inshape: Sequence[int]
+    feats: int = 1
+    int_steps: int = 7
+    int_resolution: int = 2
+    mult: float = 1000.0
+
+    @nn.compact
+    def __call__(self, source):
+        ndims = len(self.inshape)
+        flow_shape = tuple(int(np.round(d / self.int_resolution)) for d in self.inshape)
+        flow_param = self.param(
+            "flow", nn.initializers.normal(1e-5), (1, *flow_shape, ndims))
+        flow = flow_param * self.mult
+        preint_flow = jnp.repeat(flow, source.shape[0], axis=0)
+
+        pos_flow = preint_flow
+        if self.int_steps > 0:
+            pos_flow = jax.vmap(
+                lambda v: warp_ops.integrate_vec(v, nb_steps=self.int_steps))(pos_flow)
+            if self.int_resolution > 1:
+                factor = self.inshape[0] / flow_shape[0]
+                pos_flow = rescale_flow(pos_flow, factor)
+
+        y_source = jax.vmap(warp_ops.transform)(source, pos_flow)
+        return {"y_source": y_source, "preint_flow": preint_flow,
+                "pos_flow": pos_flow, "reg": preint_flow}
+
+    @staticmethod
+    def flow_from_warp(warp, mult: float = 1000.0):
+        """Convert an existing (pre-integration) flow into the stored param."""
+        return warp / mult
+
+
+class Transform(nn.Module):
+    """Inference-only transform application (tf/networks.py:990-1029)."""
+
+    interp_method: str = "linear"
+    rescale: Optional[float] = None
+    fill_value: Optional[float] = None
+    shift_center: bool = True
+
+    @nn.compact
+    def __call__(self, img, trf):
+        if self.rescale is not None and self.rescale != 1:
+            from ..ops.affine import is_affine_shape, rescale_affine
+            if is_affine_shape(trf.shape[1:]):
+                trf = rescale_affine(trf, self.rescale)
+            else:
+                trf = rescale_flow(trf, self.rescale)
+        return jax.vmap(
+            lambda i, t: warp_ops.transform(
+                i, t, interp_method=self.interp_method,
+                fill_value=self.fill_value, shift_center=self.shift_center)
+        )(img, trf)
