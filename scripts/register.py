@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Register a moving to a fixed image with a trained VxmDense model.
+
+CLI-compatible with /root/reference/scripts/tf/register.py, but runs warp
+prediction + image warping as ONE fused jitted call (the reference does two
+separate predicts).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--moving', required=True, help='moving image (source) filename')
+    parser.add_argument('--fixed', required=True, help='fixed image (target) filename')
+    parser.add_argument('--moved', required=True, help='warped image output filename')
+    parser.add_argument('--model', required=True, help='model file for nonlinear registration')
+    parser.add_argument('--warp', help='output warp deformation filename')
+    parser.add_argument('-g', '--gpu', help='ignored (TPU devices are auto-detected)')
+    parser.add_argument('--multichannel', action='store_true',
+                        help='specify that data has multiple channels')
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax.numpy as jnp
+    import voxelmorph_tpu as vxm
+    from voxelmorph_tpu.models import load_model
+    from voxelmorph_tpu.registration import build_register_fn
+
+    add_feat_axis = not args.multichannel
+    moving = vxm.py.utils.load_volfile(args.moving, add_batch_axis=True,
+                                       add_feat_axis=add_feat_axis)
+    fixed, fixed_affine = vxm.py.utils.load_volfile(
+        args.fixed, add_batch_axis=True, add_feat_axis=add_feat_axis, ret_affine=True)
+
+    model, params = load_model(args.model)
+    register = build_register_fn(model)
+    moved, warp = register(params, jnp.asarray(moving, jnp.float32),
+                           jnp.asarray(fixed, jnp.float32))
+
+    import numpy as np
+    if args.warp:
+        vxm.py.utils.save_volfile(np.asarray(warp).squeeze(), args.warp, fixed_affine)
+    vxm.py.utils.save_volfile(np.asarray(moved).squeeze(), args.moved, fixed_affine)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,2 @@
+from . import mesh
+from .mesh import batch_sharding, make_mesh, replicate, replicated, shard_batch

@@ -1,0 +1,56 @@
+"""High-level registration API: fused, jitted predict paths.
+
+The reference runs inference as *two* separate Keras predicts (warp, then
+warping — SURVEY §3.2); here a single jitted function produces both the warp
+and the moved image in one device round trip, with an optional extra image
+(e.g. a segmentation, nearest-interpolated) transported by the same warp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops import warp as warp_ops
+
+__all__ = ["build_register_fn", "register_pair"]
+
+
+def build_register_fn(model, interp_method: str = "linear"):
+    """Return a jitted fn(params, moving, fixed) -> (moved, warp)."""
+
+    @jax.jit
+    def _register(params, moving, fixed):
+        out = model.apply({"params": params}, moving, fixed, train=False)
+        return out["y_source"], out["pos_flow"]
+
+    return _register
+
+
+def build_register_seg_fn(model):
+    """Jitted fn(params, moving, fixed, moving_seg) -> (moved, warp, moved_seg).
+
+    The segmentation rides the same warp with nearest-neighbor interpolation —
+    the scripts/tf/test.py evaluation path, fused into one call.
+    """
+
+    @jax.jit
+    def _register(params, moving, fixed, moving_seg):
+        out = model.apply({"params": params}, moving, fixed, train=False)
+        warp = out["pos_flow"]
+        moved_seg = jax.vmap(
+            lambda i, w: warp_ops.transform(i, w, interp_method="nearest")
+        )(moving_seg, warp)
+        return out["y_source"], warp, moved_seg
+
+    return _register
+
+
+def register_pair(model, params, moving, fixed):
+    """Convenience one-shot: returns (moved, warp) as numpy arrays."""
+    fn = build_register_fn(model)
+    moved, warp = fn(params, jnp.asarray(moving), jnp.asarray(fixed))
+    return jax.device_get(moved), jax.device_get(warp)

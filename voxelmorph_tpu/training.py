@@ -1,0 +1,205 @@
+"""Training engine: jitted/sharded train steps, loss wiring, prefetch,
+checkpointing, metrics.
+
+Replaces the reference's Keras ``model.compile(...)+fit(...)`` path
+(scripts/tf/train.py:188-199) with an explicit JAX loop: one jitted
+(optionally mesh-sharded) step function with donated buffers, a host-side
+double-buffering prefetcher so data loading overlaps device compute, and
+periodic self-describing checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models import modelio
+from .parallel import mesh as mesh_lib
+
+__all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch"]
+
+
+class LossTerm:
+    """One wired loss: model-output key + loss fn + weight + target index.
+
+    target_index selects which element of the generator's target tuple this
+    loss compares against (mirroring Keras' positional compile semantics).
+    """
+
+    def __init__(self, output_key: str, fn: Callable, weight: float = 1.0,
+                 target_index: Optional[int] = None, name: Optional[str] = None):
+        self.output_key = output_key
+        self.fn = fn
+        self.weight = weight
+        self.target_index = target_index
+        self.name = name or output_key
+
+
+def make_loss_fn(model, loss_terms: Sequence[LossTerm], input_keys=None,
+                 needs_sample_rng: bool = False):
+    """Build loss_fn(params, inputs, targets, rng) -> (total, metrics)."""
+
+    def loss_fn(params, inputs, targets, rng):
+        rngs = {"sample": rng} if needs_sample_rng else None
+        out = model.apply({"params": params}, *inputs, rngs=rngs)
+        total = 0.0
+        metrics = {}
+        for i, term in enumerate(loss_terms):
+            tgt_idx = term.target_index if term.target_index is not None else i
+            val = jnp.mean(term.fn(targets[tgt_idx], out[term.output_key]))
+            total = total + term.weight * val
+            metrics[term.name] = val
+        metrics["loss"] = total
+        return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(model, loss_terms: Sequence[LossTerm], tx,
+                    needs_sample_rng: bool = False, donate: bool = True):
+    """Build the jitted train step: (params, opt_state, rng, inputs, targets)
+    -> (params, opt_state, metrics). Buffers are donated so params update
+    in place in HBM."""
+    loss_fn = make_loss_fn(model, loss_terms, needs_sample_rng=needs_sample_rng)
+
+    def step(params, opt_state, rng, inputs, targets):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, inputs, targets, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def prefetch(generator, size: int = 2):
+    """Run a python generator in a background thread with a bounded queue,
+    overlapping host-side volume loading with device compute."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _sentinel = object()
+
+    def producer():
+        try:
+            for item in generator:
+                q.put(item)
+        finally:
+            q.put(_sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _sentinel:
+            return
+        yield item
+
+
+class Trainer:
+    """Minimal epoch/step training driver with checkpointing and metrics.
+
+    Mirrors the Keras fit loop contract of the reference scripts: the
+    generator yields (inputs, targets) numpy tuples; checkpoints are written
+    every ``save_freq_epochs`` as self-describing model files.
+    """
+
+    def __init__(self, model, loss_terms: Sequence[LossTerm], lr: float = 1e-4,
+                 mesh=None, needs_sample_rng: bool = False, seed: int = 0,
+                 spatial_shard: bool = False, tx=None):
+        self.model = model
+        self.loss_terms = list(loss_terms)
+        self.tx = tx if tx is not None else optax.adam(lr)
+        self.mesh = mesh  # lazily built from the first batch if None
+        self.needs_sample_rng = needs_sample_rng
+        self.spatial_shard = spatial_shard
+        self.base_rng = jax.random.PRNGKey(seed)
+        self.step_fn = make_train_step(model, self.loss_terms, self.tx,
+                                       needs_sample_rng=needs_sample_rng)
+        self.params = None
+        self.opt_state = None
+        self.global_step = 0
+
+    def _ensure_mesh(self, arrays):
+        if self.mesh is None:
+            batch = int(np.shape(arrays[0])[0]) if arrays else 1
+            spatial = int(np.shape(arrays[0])[1]) if arrays and np.ndim(arrays[0]) > 2 else None
+            self.mesh = mesh_lib.make_mesh_for_batch(
+                batch, spatial_size=spatial if self.spatial_shard else None)
+
+    def init(self, sample_inputs, params=None):
+        """Initialize (or adopt) params and the optimizer state."""
+        if sample_inputs is not None:
+            self._ensure_mesh(sample_inputs)
+        elif self.mesh is None:
+            self.mesh = mesh_lib.make_mesh_for_batch(1)
+        if params is None:
+            rngs = {"params": self.base_rng}
+            if self.needs_sample_rng:
+                rngs["sample"] = self.base_rng
+            inputs_dev = self._put(sample_inputs)
+            params = self.model.init(rngs, *inputs_dev)["params"]
+        self.params = mesh_lib.replicate(self.mesh, params)
+        self.opt_state = self.tx.init(self.params)
+        return self.params
+
+    def _put(self, arrays):
+        return tuple(mesh_lib.shard_batch(self.mesh, jnp.asarray(a, jnp.float32),
+                                          spatial=self.spatial_shard)
+                     for a in arrays)
+
+    def train_step(self, inputs, targets):
+        rng = jax.random.fold_in(self.base_rng, self.global_step)
+        inputs = self._put(inputs)
+        targets = self._put(targets)
+        self.params, self.opt_state, metrics = self.step_fn(
+            self.params, self.opt_state, rng, inputs, targets)
+        self.global_step += 1
+        return metrics
+
+    def fit(self, generator, epochs: int, steps_per_epoch: int,
+            initial_epoch: int = 0, model_dir: Optional[str] = None,
+            save_freq_epochs: int = 20, save_filename: str = "{epoch:04d}.npz",
+            log_fn: Callable[[str], None] = print, prefetch_size: int = 2):
+        gen = prefetch(generator, size=prefetch_size) if prefetch_size else generator
+
+        if self.params is None:
+            inputs, _ = next(gen)
+            self.init(inputs)
+
+        if model_dir:
+            os.makedirs(model_dir, exist_ok=True)
+            self.save(os.path.join(model_dir, save_filename.format(epoch=initial_epoch)))
+
+        for epoch in range(initial_epoch, epochs):
+            t0 = time.time()
+            last_metrics = {}
+            for _ in range(steps_per_epoch):
+                inputs, targets = next(gen)
+                last_metrics = self.train_step(inputs, targets)
+            # force a sync to time realistically
+            last_metrics = {k: float(v) for k, v in last_metrics.items()}
+            dt = time.time() - t0
+            msg = " - ".join(f"{k}: {v:.6f}" for k, v in sorted(last_metrics.items()))
+            log_fn(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, "
+                   f"{steps_per_epoch / dt:.2f} steps/s] {msg}")
+
+            if model_dir and ((epoch + 1) % save_freq_epochs == 0 or epoch + 1 == epochs):
+                self.save(os.path.join(model_dir, save_filename.format(epoch=epoch + 1)))
+
+        return last_metrics
+
+    def save(self, path: str):
+        params_host = jax.device_get(self.params)
+        modelio.save_model(path, self.model, params_host)
+
+    def load(self, path: str):
+        _, params = modelio.load_model(path)
+        return self.init(None, params=params)
