@@ -1,9 +1,15 @@
 """Model zoo: registration networks and checkpoint IO."""
 
-from . import modelio, unet, vxm
+from . import atlas, hyper, modelio, unet, vxm
+from .atlas import (ConditionalTemplateCreation, MeanStream,
+                    ProbAtlasSegmentation, TemplateCreation)
+from .hyper import HyperVxmDense
 from .modelio import load_model, register_model, save_model
 from .unet import Unet
-from .vxm import InstanceDense, Transform, VxmDense
+from .vxm import (InstanceDense, Transform, VxmDense,
+                  VxmDenseSemiSupervisedPointCloud, VxmDenseSemiSupervisedSeg)
 
-for _cls in (VxmDense, InstanceDense, Unet):
+for _cls in (VxmDense, VxmDenseSemiSupervisedSeg, VxmDenseSemiSupervisedPointCloud,
+             InstanceDense, Unet, TemplateCreation, ConditionalTemplateCreation,
+             ProbAtlasSegmentation, HyperVxmDense):
     register_model(_cls)

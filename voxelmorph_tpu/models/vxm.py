@@ -22,7 +22,14 @@ from ..ops import warp as warp_ops
 from ..ops.interp import resize as _resize
 from .unet import Unet
 
-__all__ = ["VxmDense", "InstanceDense", "Transform", "rescale_flow"]
+__all__ = [
+    "VxmDense",
+    "VxmDenseSemiSupervisedSeg",
+    "VxmDenseSemiSupervisedPointCloud",
+    "InstanceDense",
+    "Transform",
+    "rescale_flow",
+]
 
 
 def rescale_flow(flow, factor, batched=True):
@@ -84,6 +91,7 @@ class VxmDense(nn.Module):
             name="unet",
         )(x, hyp)
         x = x.astype(jnp.float32)
+        unet_out = x  # exposed for heads that consume unet features (ProbAtlasSeg)
 
         k = (3,) * ndims
         flow_mean = nn.Conv(ndims, k, padding="SAME",
@@ -145,6 +153,7 @@ class VxmDense(nn.Module):
         )(img, w)
         y_source = warp(source.astype(jnp.float32), pos_flow)
         outputs["y_source"] = y_source
+        outputs["unet_out"] = unet_out
         outputs["pos_flow"] = pos_flow
         if self.bidir:
             outputs["y_target"] = warp(target.astype(jnp.float32), neg_flow)
@@ -164,6 +173,117 @@ class VxmDense(nn.Module):
             outputs["reg"] = field[self.reg_field.lower()]
 
         return outputs
+
+
+class VxmDenseSemiSupervisedSeg(nn.Module):
+    """VxmDense + auxiliary warped (downsampled one-hot) segmentations.
+
+    Rebuild of tf/networks.py:287-388: the pos_flow is rescaled to the
+    segmentation resolution and applied (linear interp) to the prob-seg
+    input; with ``bidir_labels``, the target seg is warped by the rescaled
+    neg_flow as well. Call: (source, target, src_seg[, trg_seg]).
+    Adds 'y_seg_source' (and 'y_seg_target') to the output dict.
+    """
+
+    inshape: Sequence[int]
+    nb_labels: int
+    nb_unet_features: Any = None
+    seg_resolution: int = 2
+    bidir: bool = False
+    bidir_labels: bool = False
+    int_steps: int = 7
+    int_resolution: int = 2
+    use_probs: bool = False
+    src_feats: int = 1
+    trg_feats: int = 1
+    reg_field: str = "preintegrated"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, source, target, src_seg, trg_seg=None, train: bool = True):
+        bidir = self.bidir or self.bidir_labels
+        out = VxmDense(
+            inshape=self.inshape,
+            nb_unet_features=self.nb_unet_features,
+            bidir=bidir,
+            int_steps=self.int_steps,
+            int_resolution=self.int_resolution,
+            use_probs=self.use_probs,
+            src_feats=self.src_feats,
+            trg_feats=self.trg_feats,
+            reg_field=self.reg_field,
+            dtype=self.dtype,
+            name="vxm",
+        )(source, target, train=train)
+
+        seg_flow = rescale_flow(out["pos_flow"], 1.0 / self.seg_resolution)
+        out["y_seg_source"] = jax.vmap(warp_ops.transform)(
+            src_seg.astype(jnp.float32), seg_flow)
+
+        if self.bidir_labels:
+            assert trg_seg is not None, "bidir_labels requires a target segmentation input"
+            neg_seg_flow = rescale_flow(out["neg_flow"], 1.0 / self.seg_resolution)
+            out["y_seg_target"] = jax.vmap(warp_ops.transform)(
+                trg_seg.astype(jnp.float32), neg_seg_flow)
+        return out
+
+
+class VxmDenseSemiSupervisedPointCloud(nn.Module):
+    """VxmDense (bidir) + surface-point distance supervision.
+
+    Rebuild of tf/networks.py:391-486: warps atlas surface points by
+    pos_flow (points move opposite to images), samples the subject SDT at
+    the warped points — and symmetrically for subject points / atlas SDT
+    when ``surf_bidir``. Outputs add 'subj_dt_value' (and 'atl_dt_value').
+
+    Call: (source, target, subj_dt, atl_dt, subj_surface_pts,
+    atlas_surface_pts) with the dt/surface args ordered like the
+    surf_semisupervised generator's inputs.
+    """
+
+    inshape: Sequence[int]
+    nb_surface_points: int
+    nb_labels_sample: int
+    nb_unet_features: Any = None
+    sdt_vol_resize: float = 1.0
+    surf_bidir: bool = True
+    int_steps: int = 7
+    int_resolution: int = 2
+    use_probs: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, source, target, subj_dt=None, atl_dt=None,
+                 subj_surface=None, atlas_surface=None, train: bool = True):
+        out = VxmDense(
+            inshape=self.inshape,
+            nb_unet_features=self.nb_unet_features,
+            bidir=True,
+            int_steps=self.int_steps,
+            int_resolution=self.int_resolution,
+            use_probs=self.use_probs,
+            dtype=self.dtype,
+            name="vxm",
+        )(source, target, train=train)
+
+        pt_warp = lambda pts, flow: jax.vmap(
+            lambda p, f: warp_ops.point_spatial_transformer(
+                p, f, sdt_vol_resize=self.sdt_vol_resize))(pts, flow)
+        sample = lambda vols, pts: jax.vmap(warp_ops.value_at_location)(vols, pts)
+
+        # pos_flow moves images x->A but points A->x. The (D+1)-th point
+        # column is the label index: point_spatial_transformer passes it
+        # through untouched, and value_at_location uses it as the channel
+        # coordinate to sample the matching label's SDT.
+        warped_atl_pts = pt_warp(atlas_surface, out["pos_flow"])
+        out["warped_atl_surface"] = warped_atl_pts
+        out["subj_dt_value"] = sample(subj_dt, warped_atl_pts)
+
+        if self.surf_bidir:
+            warped_subj_pts = pt_warp(subj_surface, out["neg_flow"])
+            out["warped_subj_surface"] = warped_subj_pts
+            out["atl_dt_value"] = sample(atl_dt, warped_subj_pts)
+        return out
 
 
 class InstanceDense(nn.Module):

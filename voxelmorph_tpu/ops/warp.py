@@ -255,8 +255,15 @@ def point_spatial_transformer(
 def value_at_location(
     vol: jnp.ndarray, points: jnp.ndarray, force_post_absolute_val: bool = True
 ) -> jnp.ndarray:
-    """Interpolate a volume at a point cloud (single sample); optional abs()."""
+    """Interpolate a volume at a point cloud (single sample); optional abs().
+
+    When the point coordinates cover every axis of ``vol`` (e.g. D spatial
+    dims + a label-channel index), the result gains a trailing singleton
+    channel — matching the reference's interpn output shape (M, 1).
+    """
     out = interpn(vol, points, interp_method="linear")
+    if out.ndim == points.ndim - 1:
+        out = out[..., None]
     return jnp.abs(out) if force_post_absolute_val else out
 
 

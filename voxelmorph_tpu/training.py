@@ -43,13 +43,24 @@ class LossTerm:
         self.name = name or output_key
 
 
-def make_loss_fn(model, loss_terms: Sequence[LossTerm], input_keys=None,
+def make_loss_fn(model, loss_terms: Sequence[LossTerm],
                  needs_sample_rng: bool = False):
-    """Build loss_fn(params, inputs, targets, rng) -> (total, metrics)."""
+    """Build loss_fn(params, state, inputs, targets, rng)
+    -> (total, (metrics, new_state)).
 
-    def loss_fn(params, inputs, targets, rng):
+    ``state`` carries non-param variable collections (e.g. MeanStream's
+    'stream') which the model may mutate during a training step.
+    """
+
+    def loss_fn(params, state, inputs, targets, rng):
         rngs = {"sample": rng} if needs_sample_rng else None
-        out = model.apply({"params": params}, *inputs, rngs=rngs)
+        variables = {"params": params, **state}
+        if state:
+            out, new_state = model.apply(variables, *inputs, rngs=rngs,
+                                         mutable=list(state.keys()))
+        else:
+            out = model.apply(variables, *inputs, rngs=rngs)
+            new_state = state
         total = 0.0
         metrics = {}
         for i, term in enumerate(loss_terms):
@@ -58,26 +69,28 @@ def make_loss_fn(model, loss_terms: Sequence[LossTerm], input_keys=None,
             total = total + term.weight * val
             metrics[term.name] = val
         metrics["loss"] = total
-        return total, metrics
+        return total, (metrics, new_state)
 
     return loss_fn
 
 
 def make_train_step(model, loss_terms: Sequence[LossTerm], tx,
                     needs_sample_rng: bool = False, donate: bool = True):
-    """Build the jitted train step: (params, opt_state, rng, inputs, targets)
-    -> (params, opt_state, metrics). Buffers are donated so params update
-    in place in HBM."""
+    """Build the jitted train step:
+    (params, state, opt_state, rng, inputs, targets)
+    -> (params, state, opt_state, metrics).
+    Buffers are donated so params update in place in HBM."""
     loss_fn = make_loss_fn(model, loss_terms, needs_sample_rng=needs_sample_rng)
 
-    def step(params, opt_state, rng, inputs, targets):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, inputs, targets, rng)
+    def step(params, state, opt_state, rng, inputs, targets):
+        grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_state)), grads = grads_fn(
+            params, state, inputs, targets, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return params, new_state, opt_state, metrics
 
-    donate_argnums = (0, 1) if donate else ()
+    donate_argnums = (0, 1, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
@@ -124,6 +137,7 @@ class Trainer:
         self.step_fn = make_train_step(model, self.loss_terms, self.tx,
                                        needs_sample_rng=needs_sample_rng)
         self.params = None
+        self.state = {}  # non-param variable collections (e.g. 'stream')
         self.opt_state = None
         self.global_step = 0
 
@@ -145,7 +159,9 @@ class Trainer:
             if self.needs_sample_rng:
                 rngs["sample"] = self.base_rng
             inputs_dev = self._put(sample_inputs)
-            params = self.model.init(rngs, *inputs_dev)["params"]
+            variables = self.model.init(rngs, *inputs_dev)
+            params = variables.pop("params")
+            self.state = mesh_lib.replicate(self.mesh, dict(variables))
         self.params = mesh_lib.replicate(self.mesh, params)
         self.opt_state = self.tx.init(self.params)
         return self.params
@@ -159,8 +175,8 @@ class Trainer:
         rng = jax.random.fold_in(self.base_rng, self.global_step)
         inputs = self._put(inputs)
         targets = self._put(targets)
-        self.params, self.opt_state, metrics = self.step_fn(
-            self.params, self.opt_state, rng, inputs, targets)
+        self.params, self.state, self.opt_state, metrics = self.step_fn(
+            self.params, self.state, self.opt_state, rng, inputs, targets)
         self.global_step += 1
         return metrics
 
