@@ -104,7 +104,6 @@ def test_training_reduces_loss(data_dir):
     from voxelmorph_tpu.training import LossTerm, Trainer
 
     files = vxm.py.utils.read_file_list(str(data_dir / "list.txt"))
-    gen = vxm.generators.scan_to_scan(files, batch_size=1)
 
     model = VxmDense(inshape=SHAPE, int_steps=2,
                      nb_unet_features=[[4, 8], [8, 4]])
@@ -115,12 +114,16 @@ def test_training_reduces_loss(data_dir):
     ]
     trainer = Trainer(model, terms, lr=1e-3)
 
-    inputs, targets = next(gen)
-    trainer.init(tuple(inputs))
+    # deterministic overfit on one fixed (distinct) pair
+    src = vxm.py.utils.load_volfile(files[0], add_batch_axis=True, add_feat_axis=True)
+    trg = vxm.py.utils.load_volfile(files[1], add_batch_axis=True, add_feat_axis=True)
+    zeros = np.zeros((1, *SHAPE, 3), np.float32)
+    inputs, targets = (src, trg), (trg, zeros)
+
+    trainer.init(inputs)
     first = float(trainer.train_step(inputs, targets)["loss"])
     for _ in range(15):
-        inputs, targets = next(gen)
         metrics = trainer.train_step(inputs, targets)
     last = float(metrics["loss"])
     assert np.isfinite(last)
-    assert last < first * 1.5  # loss shouldn't blow up; typically decreases
+    assert last < first * 0.9, (first, last)
