@@ -1,0 +1,203 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxelmorph_tpu.ops.image import barycenter, draw_multiscale_noise, gaussian_blur, sqrtm
+from voxelmorph_tpu.models import (HyperVxmJoint, LabelsToImageConfig,
+                                   VxmAffineFeatureDetector, labels_to_image)
+from voxelmorph_tpu.ops import affine as A
+from voxelmorph_tpu.ops import warp as W
+
+
+RNG = np.random.default_rng(11)
+SHAPE = (16, 16)
+SHAPE3 = (16, 16, 16)
+
+
+# ------------------------------------------------------------- image ops
+
+def test_gaussian_blur_reduces_variance():
+    x = jnp.asarray(RNG.normal(size=(12, 12, 1)).astype(np.float32))
+    y = gaussian_blur(x, 2.0)
+    assert float(jnp.std(y)) < float(jnp.std(x))
+    assert abs(float(jnp.mean(y)) - float(jnp.mean(x))) < 0.1
+
+
+def test_gaussian_blur_zero_sigma_identity():
+    x = jnp.asarray(RNG.normal(size=(8, 8, 1)).astype(np.float32))
+    y = gaussian_blur(x, 0.0, max_sigma=2.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_draw_multiscale_noise_smoothness():
+    key = jax.random.PRNGKey(0)
+    field = draw_multiscale_noise(key, (32, 32), scales=[16], max_std=1.0,
+                                  nb_channels=2)
+    assert field.shape == (32, 32, 2)
+    f = np.asarray(field)
+    # coarse-scale noise should be smooth: neighbor diffs << value range
+    diffs = np.abs(np.diff(f, axis=0)).mean()
+    rng_span = f.max() - f.min() + 1e-8
+    assert diffs / rng_span < 0.2
+
+
+def test_barycenter_point_mass():
+    feat = np.zeros((1, 9, 9, 2), np.float32)
+    feat[0, 2, 3, 0] = 1.0
+    feat[0, 6, 8, 1] = 1.0
+    bc = np.asarray(barycenter(jnp.asarray(feat)))  # normalized, centered
+    # channel 0 at (2,3): centered = (2-4, 3-4) = (-2,-1); /9
+    np.testing.assert_allclose(bc[0, 0], [-2 / 9, -1 / 9], atol=1e-5)
+    np.testing.assert_allclose(bc[0, 1], [2 / 9, 4 / 9], atol=1e-5)
+
+
+def test_sqrtm():
+    mat = np.asarray(A.params_to_affine_matrix(
+        jnp.asarray([2.0, -1.0, 0.5, 10.0, 5.0, -8.0]), last_row=True))
+    root = np.asarray(sqrtm(jnp.asarray(mat)))
+    np.testing.assert_allclose(root @ root, mat, atol=1e-4)
+
+
+# ------------------------------------------------------------- synthesis
+
+def _cfg(**kw):
+    defaults = dict(in_shape=SHAPE3, in_label_list=[0, 1, 2, 3],
+                    warp_std=0.5, warp_res=[8], blur_std=1.0,
+                    bias_std=0.3, bias_res=[8], gamma_std=0.25)
+    defaults.update(kw)
+    return LabelsToImageConfig(**defaults)
+
+
+def _label_maps(n=2):
+    return jnp.asarray(RNG.integers(0, 4, size=(n, *SHAPE3, 1)).astype(np.int32))
+
+
+def test_labels_to_image_shapes_and_range():
+    cfg = _cfg()
+    image, one_hot = labels_to_image(jax.random.PRNGKey(0), _label_maps(), cfg)
+    assert image.shape == (2, *SHAPE3, 1)
+    assert one_hot.shape == (2, *SHAPE3, 4)
+    img = np.asarray(image)
+    assert img.min() >= 0 and img.max() <= 1.0 + 1e-5
+    oh = np.asarray(one_hot)
+    np.testing.assert_allclose(oh.sum(-1), 1.0, atol=1e-5)  # valid one-hot
+
+
+def test_labels_to_image_out_labels_subset():
+    cfg = _cfg(out_label_list=[1, 3])
+    _, one_hot = labels_to_image(jax.random.PRNGKey(1), _label_maps(), cfg)
+    assert one_hot.shape[-1] == 2
+
+
+def test_labels_to_image_randomness_and_jit():
+    cfg = _cfg()
+    maps = _label_maps(1)
+    f = jax.jit(lambda k: labels_to_image(k, maps, cfg))
+    im1, _ = f(jax.random.PRNGKey(0))
+    im2, _ = f(jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(im1), np.asarray(im2))
+    im1b, _ = f(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(im1), np.asarray(im1b), atol=0)
+
+
+def test_labels_to_image_out_shape_pad():
+    cfg = _cfg(out_shape=(20, 20, 20))
+    image, one_hot = labels_to_image(jax.random.PRNGKey(0), _label_maps(1), cfg)
+    assert image.shape == (1, 20, 20, 20, 1)
+    assert one_hot.shape == (1, 20, 20, 20, 4)
+
+
+# ------------------------------------------------------------- affine detector
+
+def _detector(**kw):
+    args = dict(in_shape=SHAPE, num_feat=4, enc_nf=(4, 4), add_nf=(4,),
+                half_res=False, make_dense=False)
+    args.update(kw)
+    return VxmAffineFeatureDetector(**args)
+
+
+def test_affine_detector_identity_pair():
+    model = _detector()
+    im = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), im, im)["params"]
+    out = model.apply({"params": params}, im, im)
+    aff = np.asarray(out["aff_1"])
+    # same image both sides -> symmetric fit must be ~identity
+    np.testing.assert_allclose(aff[0], np.eye(2, 3), atol=1e-2)
+
+
+def test_affine_detector_consistency():
+    # aff_1 and aff_2 must be exact inverses
+    model = _detector()
+    im1 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    im2 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), im1, im2)["params"]
+    out = model.apply({"params": params}, im1, im2)
+    m1 = np.asarray(A.make_square_affine(out["aff_1"][0]))
+    m2 = np.asarray(A.make_square_affine(out["aff_2"][0]))
+    np.testing.assert_allclose(m1 @ m2, np.eye(3), atol=1e-3)
+
+
+def test_affine_detector_dense_and_moved():
+    model = _detector(make_dense=True, return_moved=True, half_res=True,
+                      in_shape=SHAPE)
+    im = jnp.asarray(RNG.random((2, *SHAPE, 1), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), im, im)["params"]
+    out = model.apply({"params": params}, im, im)
+    assert out["dense_1"].shape == (2, *SHAPE, 2)
+    assert out["moved_1"].shape == (2, *SHAPE, 1)
+
+
+def test_affine_detector_rigid():
+    model = _detector(rigid=True)
+    im1 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    im2 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), im1, im2)["params"]
+    out = model.apply({"params": params}, im1, im2)
+    lin = np.asarray(out["aff_1"])[0, :, :2]
+    # rigid: linear part orthogonal
+    np.testing.assert_allclose(lin.T @ lin, np.eye(2), atol=1e-3)
+
+
+def test_affine_detector_mid_space():
+    model = _detector(return_trans_to_mid_space=True)
+    im1 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    im2 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), im1, im2)["params"]
+    out = model.apply({"params": params}, im1, im2)
+    assert np.isfinite(np.asarray(out["aff_1"])).all()
+
+
+# ------------------------------------------------------------- joint model
+
+def test_hyper_vxm_joint_smoke():
+    model = HyperVxmJoint(in_shape=SHAPE, int_steps=2,
+                          hyp_units=(4,), enc_nf=(4, 4), dec_nf=(4, 4),
+                          add_nf=(4,), aff_num_feat=4, aff_enc_nf=(4, 4))
+    im1 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    im2 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    hyp = jnp.asarray([[0.5]])
+    params = model.init(jax.random.PRNGKey(0), hyp, im1, im2)["params"]
+    out = model.apply({"params": params}, hyp, im1, im2)
+    # full-res total warp by default
+    assert out["tot_1"].shape == (1, *SHAPE, 2)
+    assert out["svf_1"].shape == (1, 8, 8, 2)
+    # symmetrized SVF: svf_2 == -svf_1
+    np.testing.assert_allclose(np.asarray(out["svf_2"]),
+                               -np.asarray(out["svf_1"]), atol=0)
+    assert np.isfinite(np.asarray(out["tot_1"])).all()
+
+
+def test_hyper_vxm_joint_half_res_output():
+    model = HyperVxmJoint(in_shape=SHAPE, int_steps=1,
+                          return_trans_to_half_res=True, return_moved=True,
+                          hyp_units=(4,), enc_nf=(4,), dec_nf=(4,),
+                          add_nf=(4,), aff_num_feat=4, aff_enc_nf=(4,))
+    im1 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    im2 = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float32))
+    hyp = jnp.asarray([[0.5]])
+    params = model.init(jax.random.PRNGKey(0), hyp, im1, im2)["params"]
+    out = model.apply({"params": params}, hyp, im1, im2)
+    assert out["tot_1"].shape == (1, 8, 8, 2)
+    assert out["moved_1"].shape == (1, 8, 8, 1)

@@ -1,9 +1,10 @@
 """Model zoo: registration networks and checkpoint IO."""
 
-from . import atlas, hyper, modelio, unet, vxm
+from . import atlas, hyper, modelio, synthmorph, unet, vxm
 from .atlas import (ConditionalTemplateCreation, MeanStream,
                     ProbAtlasSegmentation, TemplateCreation)
 from .hyper import HyperVxmDense
+from .synthmorph import (HyperVxmJoint, LabelsToImageConfig, VxmAffineFeatureDetector, labels_to_image)
 from .modelio import load_model, register_model, save_model
 from .unet import Unet
 from .vxm import (InstanceDense, Transform, VxmDense,
@@ -11,5 +12,5 @@ from .vxm import (InstanceDense, Transform, VxmDense,
 
 for _cls in (VxmDense, VxmDenseSemiSupervisedSeg, VxmDenseSemiSupervisedPointCloud,
              InstanceDense, Unet, TemplateCreation, ConditionalTemplateCreation,
-             ProbAtlasSegmentation, HyperVxmDense):
+             ProbAtlasSegmentation, HyperVxmDense, VxmAffineFeatureDetector, HyperVxmJoint):
     register_model(_cls)

@@ -1,0 +1,492 @@
+"""SynthMorph: anatomy-agnostic registration trained on synthesized images.
+
+Three pieces, rebuilt TPU-first from the reference:
+
+  * ``labels_to_image`` — the on-device synthesis pipeline replacing
+    ne.models.labels_to_image (used at scripts/tf/train_synthmorph.py:142-153):
+    label map -> random diffeomorphic warp -> per-label GMM intensities ->
+    blur -> bias field -> gamma. Here it is a pure PRNG-keyed jitted function
+    (no Keras graph): every step is vectorized jnp, the smooth fields ride the
+    separable matmul resize, and the whole pipeline fuses into the train step.
+  * ``VxmAffineFeatureDetector`` — symmetric affine/rigid registration via
+    feature barycenters + weighted least squares (tf/networks.py:1238-1459).
+  * ``HyperVxmJoint`` — joint affine + hypernetwork-conditioned deformable
+    registration at half resolution with symmetrized SVF
+    (tf/networks.py:1462-1688).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import affine as affine_ops
+from ..ops import warp as warp_ops
+from ..ops.image import barycenter, draw_multiscale_noise, gaussian_blur, sqrtm
+from .unet import HyperConv
+
+__all__ = ["labels_to_image", "LabelsToImageConfig", "VxmAffineFeatureDetector",
+           "HyperVxmJoint"]
+
+
+class LabelsToImageConfig:
+    """Static configuration for the synthesis pipeline.
+
+    Parameter semantics follow the reference trainer's flags
+    (scripts/tf/train_synthmorph.py:50-57 and gen_args at :116-127):
+    warp_std/warp_res control the SVF, blur_std the smoothing, bias_std/
+    bias_res the multiplicative bias field, gamma_std the contrast jitter.
+    """
+
+    def __init__(self, in_shape, in_label_list, out_label_list=None,
+                 out_shape=None, warp_std=0.5, warp_res=(16,), blur_std=1.0,
+                 bias_std=0.3, bias_res=(40,), gamma_std=0.25,
+                 mean_range=(0.0, 1.0), std_range=(0.0, 0.1),
+                 warp_int_steps=5, zero_background=0.2):
+        self.in_shape = tuple(int(s) for s in in_shape)
+        self.out_shape = tuple(int(s) for s in (out_shape or in_shape))
+        in_label_list = np.asarray(sorted(np.unique(in_label_list)))
+        self.in_label_list = in_label_list
+        if out_label_list is None:
+            out_label_list = in_label_list
+        self.out_label_list = np.asarray(sorted(np.unique(out_label_list)))
+        self.warp_std = warp_std
+        self.warp_res = tuple(np.ravel(warp_res))
+        self.blur_std = blur_std
+        self.bias_std = bias_std
+        self.bias_res = tuple(np.ravel(bias_res))
+        self.gamma_std = gamma_std
+        self.mean_range = mean_range
+        self.std_range = std_range
+        self.warp_int_steps = warp_int_steps
+        self.zero_background = zero_background
+
+        # dense int -> compact index lookups (static numpy)
+        max_label = int(in_label_list.max())
+        lut = np.zeros(max_label + 1, np.int32)
+        lut[in_label_list] = np.arange(len(in_label_list))
+        self.index_lut = lut
+        out_lut = np.full(max_label + 1, -1, np.int32)
+        for i, lab in enumerate(self.out_label_list):
+            if lab <= max_label:
+                out_lut[lab] = i
+        self.out_lut = out_lut
+        self.nb_in_labels = len(in_label_list)
+        self.nb_out_labels = len(self.out_label_list)
+
+
+def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
+    """Synthesize a (image, one_hot_map) pair from an integer label map.
+
+    Args:
+      key: PRNG key (fold in the step index for fresh draws every step).
+      label_map: (B, *in_shape, 1) integer labels.
+      cfg: LabelsToImageConfig.
+
+    Returns:
+      image: (B, *out_shape, 1) float32 in [0, 1].
+      one_hot: (B, *out_shape, nb_out_labels) float32 — the *warped* label map
+        one-hot encoded over cfg.out_label_list (used by the Dice loss).
+    """
+    B = label_map.shape[0]
+    nd = len(cfg.in_shape)
+
+    def single(key, lab):
+        lab = lab[..., 0].astype(jnp.int32)
+        keys = jax.random.split(key, 8)
+
+        # 1. random smooth SVF -> diffeomorphic warp -> warp label map (nearest)
+        svf = draw_multiscale_noise(keys[0], cfg.in_shape, cfg.warp_res,
+                                    cfg.warp_std, nb_channels=nd)
+        warp = warp_ops.integrate_vec(svf, nb_steps=cfg.warp_int_steps)
+        lab_f = lab.astype(jnp.float32)[..., None]
+        warped = warp_ops.transform(lab_f, warp, interp_method="nearest")[..., 0]
+        warped = warped.astype(jnp.int32)
+
+        # 2. per-label GMM intensities
+        idx = jnp.asarray(cfg.index_lut)[jnp.clip(warped, 0, len(cfg.index_lut) - 1)]
+        means = jax.random.uniform(keys[1], (cfg.nb_in_labels,), jnp.float32,
+                                   cfg.mean_range[0], cfg.mean_range[1])
+        stds = jax.random.uniform(keys[2], (cfg.nb_in_labels,), jnp.float32,
+                                  cfg.std_range[0], cfg.std_range[1])
+        # optionally zero out the background (label 0) intensity
+        if cfg.zero_background > 0 and cfg.in_label_list[0] == 0:
+            zero = jax.random.uniform(keys[6], ()) < cfg.zero_background
+            means = means.at[0].set(jnp.where(zero, 0.0, means[0]))
+            stds = stds.at[0].set(jnp.where(zero, 0.0, stds[0]))
+        noise = jax.random.normal(keys[3], warped.shape, jnp.float32)
+        image = means[idx] + stds[idx] * noise
+
+        # 3. blur with random std
+        blur_sig = jax.random.uniform(keys[4], (), jnp.float32, 0.0, cfg.blur_std)
+        image = gaussian_blur(image[..., None], blur_sig, max_sigma=cfg.blur_std)
+
+        # 4. multiplicative bias field
+        if cfg.bias_std > 0:
+            bias = draw_multiscale_noise(keys[5], cfg.in_shape, cfg.bias_res,
+                                         cfg.bias_std, nb_channels=1)
+            image = image * jnp.exp(bias)
+
+        # 5. normalize to [0, 1], then gamma contrast jitter
+        lo = jnp.min(image)
+        hi = jnp.max(image)
+        image = (image - lo) / jnp.maximum(hi - lo, 1e-6)
+        gamma = jax.random.normal(keys[7], ()) * cfg.gamma_std
+        image = jnp.power(jnp.clip(image, 1e-6, 1.0), jnp.exp(gamma))
+
+        # 6. one-hot of the warped label map over out labels
+        out_idx = jnp.asarray(cfg.out_lut)[jnp.clip(warped, 0, len(cfg.out_lut) - 1)]
+        one_hot = jax.nn.one_hot(out_idx, cfg.nb_out_labels, dtype=jnp.float32)
+
+        # 7. optional center pad/crop to out_shape
+        if cfg.out_shape != cfg.in_shape:
+            image = _center_fit(image, cfg.out_shape)
+            one_hot = _center_fit(one_hot, cfg.out_shape)
+        return image, one_hot
+
+    keys = jax.random.split(key, B)
+    return jax.vmap(single)(keys, label_map)
+
+
+def _center_fit(x, out_shape):
+    """Center pad (zeros) or crop spatial axes of (*S, C) to out_shape."""
+    for d, (cur, out) in enumerate(zip(x.shape[:-1], out_shape)):
+        if out > cur:
+            lo = (out - cur) // 2
+            pads = [(0, 0)] * x.ndim
+            pads[d] = (lo, out - cur - lo)
+            x = jnp.pad(x, pads)
+        elif out < cur:
+            lo = (cur - out) // 2
+            x = jax.lax.slice_in_dim(x, lo, lo + out, axis=d)
+    return x
+
+
+def _scale_matrix(fact, nd):
+    return jnp.diag(jnp.asarray([*([fact] * nd), 1.0], jnp.float32))[:-1]
+
+
+def _cen_matrix(shape, sign):
+    nd = len(shape)
+    mat = jnp.eye(nd, nd + 1)
+    return mat.at[:, -1].set(sign * 0.5 * (jnp.asarray(shape, jnp.float32) - 1))
+
+
+class _FeatureEncoder(nn.Module):
+    """Conv encoder-decoder emitting num_feat nonneg feature maps."""
+
+    ndims: int
+    num_feat: int = 64
+    enc_nf: Sequence[int] = (256, 256, 256, 256)
+    dec_nf: Sequence[int] = ()
+    add_nf: Sequence[int] = (256, 256, 256, 256)
+    per_level: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = (3,) * self.ndims
+        act = lambda h: nn.leaky_relu(h, 0.2)
+        conv = lambda h, n, name: nn.Conv(n, k, padding="SAME", dtype=self.dtype,
+                                          name=name)(h)
+        x = x.astype(self.dtype)
+        enc = []
+        for li, n in enumerate(self.enc_nf):
+            for ci in range(self.per_level):
+                x = act(conv(x, n, f"enc_{li}_{ci}"))
+            enc.append(x)
+            w = (2,) * self.ndims
+            x = nn.max_pool(x, window_shape=w, strides=w)
+        for li, n in enumerate(self.dec_nf):
+            for ci in range(self.per_level):
+                x = act(conv(x, n, f"dec_{li}_{ci}"))
+            for d in range(self.ndims):
+                x = jnp.repeat(x, 2, axis=d + 1)
+            x = jnp.concatenate([x, enc.pop()], axis=-1)
+        for li, n in enumerate(self.add_nf):
+            x = act(conv(x, n, f"add_{li}"))
+        x = nn.Conv(self.num_feat, k, padding="SAME", dtype=self.dtype,
+                    name="feat")(x)
+        return nn.relu(x).astype(jnp.float32)
+
+
+class VxmAffineFeatureDetector(nn.Module):
+    """Symmetric affine/rigid registration via feature-map barycenters.
+
+    A shared conv encoder emits ``num_feat`` nonnegative maps per image whose
+    centers of mass act as soft landmarks; a (weighted) least-squares fit in
+    both directions, averaged with the inverse, yields a symmetric affine.
+    Matrix outputs operate on zero-based indices (compose with
+    shift_center=False), exactly like the reference (tf/networks.py:1269-1278).
+
+    Call: (image_1, image_2) batched full-resolution images. Returns a dict:
+    aff_1/aff_2 (matrices (B, N, N+1)) or dense_1/dense_2 when make_dense,
+    plus optional moved images and features.
+    """
+
+    in_shape: Sequence[int]
+    num_feat: int = 64
+    enc_nf: Sequence[int] = (256, 256, 256, 256)
+    dec_nf: Sequence[int] = ()
+    add_nf: Sequence[int] = (256, 256, 256, 256)
+    per_level: int = 1
+    half_res: bool = True
+    weighted: bool = True
+    rigid: bool = False
+    make_dense: bool = True
+    bidir: bool = False
+    return_trans_to_mid_space: bool = False
+    return_trans_to_half_res: bool = False
+    return_moved: bool = False
+    return_feat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, im_1, im_2):
+        shape_full = np.asarray(self.in_shape)
+        shape_half = shape_full // 2
+        nd = len(shape_full)
+        assert nd in (2, 3), "only 2D and 3D supported"
+        assert not self.return_trans_to_half_res or self.half_res, \
+            "only for `half_res=True`"
+
+        inp_1, inp_2 = im_1, im_2
+        if self.half_res:
+            scale2 = _scale_matrix(2.0, nd)
+            down = lambda im: jax.vmap(
+                lambda i: warp_ops.transform(
+                    i, scale2, fill_value=0.0, shift_center=False,
+                    shape=tuple(shape_half)))(im)
+            inp_1, inp_2 = down(im_1), down(im_2)
+
+        det = _FeatureEncoder(ndims=nd, num_feat=self.num_feat, enc_nf=self.enc_nf,
+                              dec_nf=self.dec_nf, add_nf=self.add_nf,
+                              per_level=self.per_level, dtype=self.dtype,
+                              name="detector")
+        feat_1 = det(inp_1)
+        feat_2 = det(inp_2)
+
+        # barycenters in centered, normalized coords scaled to full resolution
+        cen_1 = barycenter(feat_1) * shape_full
+        cen_2 = barycenter(feat_2) * shape_full
+
+        # channel weights from total feature power
+        axes = tuple(range(1, nd + 1))
+        pow_1 = jnp.sum(feat_1, axis=axes)
+        pow_2 = jnp.sum(feat_2, axis=axes)
+        pow_1 = pow_1 / jnp.sum(pow_1, axis=-1, keepdims=True)
+        pow_2 = pow_2 / jnp.sum(pow_2, axis=-1, keepdims=True)
+        weights = pow_1 * pow_2 if self.weighted else None
+
+        aff_1 = affine_ops.fit_affine(cen_1, cen_2, weights=weights)
+        aff_2 = affine_ops.fit_affine(cen_2, cen_1, weights=weights)
+        aff_1 = 0.5 * (affine_ops.invert_affine(aff_2) + aff_1)
+
+        if self.rigid:
+            par = affine_ops.affine_matrix_to_params(aff_1)
+            par = par[:, : nd * (nd + 1) // 2]
+            aff_1 = affine_ops.params_to_affine_matrix(par, ndims=nd)
+
+        aff_2 = affine_ops.invert_affine(aff_1)
+        if self.return_trans_to_mid_space:
+            aff_1 = sqrtm(affine_ops.make_square_affine(aff_1))[:, :-1, :]
+            aff_2 = sqrtm(affine_ops.make_square_affine(aff_2))[:, :-1, :]
+
+        # convert from centered to zero-based index space at full resolution
+        un_cen = _cen_matrix(shape_full, +1.0)
+        cen = _cen_matrix(shape_full, -1.0)
+        compose = lambda mats: jax.vmap(
+            lambda *ms: warp_ops.compose(list(ms), shift_center=False))(*mats)
+        rep = lambda m: jnp.repeat(m[None], im_1.shape[0], axis=0)
+        aff_1 = compose((rep(un_cen), aff_1, rep(cen)))
+        aff_2 = compose((rep(un_cen), aff_2, rep(cen)))
+
+        if self.return_trans_to_half_res:
+            s2 = rep(_scale_matrix(2.0, nd))
+            aff_1 = compose((aff_1, s2))
+            aff_2 = compose((aff_2, s2))
+
+        out = {"aff_1": aff_1, "aff_2": aff_2}
+        shape_out = tuple(shape_half if self.return_trans_to_half_res else shape_full)
+
+        if self.make_dense:
+            out["dense_1"] = affine_ops.affine_to_dense_shift(
+                aff_1, shape_out, shift_center=False)
+            out["dense_2"] = affine_ops.affine_to_dense_shift(
+                aff_2, shape_out, shift_center=False)
+
+        if self.return_moved:
+            mov = lambda im, aff: jax.vmap(
+                lambda i, a: warp_ops.transform(
+                    i, a, fill_value=0.0, shift_center=False, shape=shape_out)
+            )(im, aff)
+            out["moved_1"] = mov(im_1, aff_1)
+            out["moved_2"] = mov(im_2, aff_2)
+
+        if self.return_feat:
+            out["feat_1"] = feat_1
+            out["feat_2"] = feat_2
+        return out
+
+
+class HyperVxmJoint(nn.Module):
+    """Joint affine + deformable registration at half resolution.
+
+    The affine stage is a VxmAffineFeatureDetector on half-resolution inputs;
+    the deformable stage is a hypernetwork-conditioned encoder-decoder on the
+    affinely-aligned images whose SVF is symmetrized as
+    ``svf = 0.5 * (svf_12 - svf_21)`` before integration
+    (tf/networks.py:1638-1643). Transforms operate on zero-based indices and
+    map full-resolution inputs to full- (or half-) resolution outputs.
+
+    Call: (hyp, image_1, image_2). Returns dict with tot_1 (and tot_2 etc.).
+    """
+
+    in_shape: Sequence[int]
+    hyp_units: Sequence[int] = (32, 32, 32, 32)
+    enc_nf: Sequence[int] = (256, 256, 256, 256)
+    dec_nf: Sequence[int] = (256, 256, 256, 256)
+    add_nf: Sequence[int] = (256, 256, 256, 256)
+    per_level: int = 1
+    int_steps: int = 7
+    bidir: bool = False
+    skip_affine: bool = False
+    mid_space: bool = False
+    return_trans_to_half_res: bool = False
+    return_moved: bool = False
+    aff_num_feat: int = 64
+    aff_enc_nf: Sequence[int] = (256, 256, 256, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hyp, full_1, full_2):
+        shape_full = np.asarray(self.in_shape)
+        shape_half = shape_full // 2
+        nd = len(shape_full)
+        B = full_1.shape[0]
+
+        scale2 = _scale_matrix(2.0, nd)
+        scale_half = _scale_matrix(0.5, nd)
+        rep = lambda m: jnp.repeat(m[None], B, axis=0)
+        compose = lambda *ms: jax.vmap(
+            lambda *xs: warp_ops.compose(list(xs), shift_center=False))(*ms)
+
+        down = lambda im: jax.vmap(
+            lambda i: warp_ops.transform(i, scale2, fill_value=0.0,
+                                         shift_center=False,
+                                         shape=tuple(shape_half)))(im)
+        ima_1, ima_2 = down(full_1), down(full_2)
+
+        # affine stage at half resolution (matrices in half-res index space)
+        aff = VxmAffineFeatureDetector(
+            in_shape=tuple(shape_half),
+            num_feat=self.aff_num_feat,
+            enc_nf=self.aff_enc_nf,
+            half_res=False,
+            make_dense=False,
+            bidir=True,
+            return_trans_to_mid_space=self.mid_space,
+            dtype=self.dtype,
+            name="affine",
+        )(ima_1, ima_2)
+        aff_1, aff_2 = aff["aff_1"], aff["aff_2"]
+
+        # full -> half resolution affines
+        aff_1 = compose(rep(scale2), aff_1)
+        aff_2 = compose(rep(scale2), aff_2)
+        warp_to = lambda im, a: jax.vmap(
+            lambda i, m: warp_ops.transform(i, m, fill_value=0.0,
+                                            shift_center=False,
+                                            shape=tuple(shape_half)))(im, a)
+        mov_1 = warp_to(full_1, aff_1)
+        mov_2 = warp_to(full_2, aff_2) if self.mid_space else ima_2
+        if self.skip_affine:
+            aff_1 = rep(scale2)
+            aff_2 = rep(scale2)
+            mov_1, mov_2 = ima_1, ima_2
+
+        # hypernetwork embedding
+        h = hyp
+        for i, n in enumerate(self.hyp_units):
+            h = nn.relu(nn.Dense(n, name=f"hyp_dense_{i}")(h))
+
+        # deformable encoder-decoder with hyper-generated convs; the SAME
+        # module instances run both directions so weights are shared
+        k = (3,) * nd
+        act = lambda x: nn.leaky_relu(x, 0.2)
+        enc_layers = [[HyperConv(n, k, dtype=self.dtype, name=f"def_enc_{li}_{ci}")
+                       for ci in range(self.per_level)]
+                      for li, n in enumerate(self.enc_nf)]
+        dec_layers = [[HyperConv(n, k, dtype=self.dtype, name=f"def_dec_{li}_{ci}")
+                       for ci in range(self.per_level)]
+                      for li, n in enumerate(self.dec_nf)]
+        add_layers = [HyperConv(n, k, dtype=self.dtype, name=f"def_add_{li}")
+                      for li, n in enumerate(self.add_nf)]
+        flow_layer = HyperConv(nd, k, dtype=self.dtype, name="def_flow")
+
+        def def_net(x1, x2):
+            x = jnp.concatenate([x1, x2], axis=-1)
+            enc = [x]
+            for level in enc_layers:
+                for layer in level:
+                    x = act(layer(x, h))
+                enc.append(x)
+                w = (2,) * nd
+                x = nn.max_pool(x, window_shape=w, strides=w)
+            for level in dec_layers:
+                for layer in level:
+                    x = act(layer(x, h))
+                for d in range(nd):
+                    x = jnp.repeat(x, 2, axis=d + 1)
+                x = jnp.concatenate([x, enc.pop()], axis=-1)
+            for layer in add_layers:
+                x = act(layer(x, h))
+            return flow_layer(x, h)
+
+        svf_1 = def_net(mov_1, mov_2).astype(jnp.float32)
+        svf_2 = def_net(mov_2, mov_1).astype(jnp.float32)
+        svf_1 = 0.5 * (svf_1 - svf_2)
+        svf_2 = -svf_1
+
+        if self.int_steps > 0:
+            integ = lambda v: jax.vmap(
+                lambda f: warp_ops.integrate_vec(f, nb_steps=self.int_steps))(v)
+            def_1, def_2 = integ(svf_1), integ(svf_2)
+        else:
+            def_1, def_2 = svf_1, svf_2
+
+        # total transforms: full-res input -> half-res output index space
+        if self.mid_space and not self.skip_affine:
+            tot_1 = compose(aff_1, def_1, rep(scale_half), aff_1)
+            tot_2 = compose(aff_2, def_2, rep(scale_half), aff_2)
+        else:
+            tot_1 = compose(aff_1, def_1)
+            tot_2 = compose(aff_2, def_2)
+
+        out = {"svf_1": svf_1, "svf_2": svf_2, "def_1": def_1, "def_2": def_2,
+               "aff_1": aff_1, "aff_2": aff_2}
+
+        if not self.return_trans_to_half_res:
+            # compose with the half->full upsampling on the right
+            down_mat = affine_ops.affine_to_dense_shift(
+                _scale_matrix(0.5, nd), tuple(shape_full), shift_center=False)
+            down_rep = jnp.repeat(down_mat[None], B, axis=0)
+            tot_1 = jax.vmap(lambda t, d: warp_ops.compose([t, d]))(tot_1, down_rep)
+            tot_2 = jax.vmap(lambda t, d: warp_ops.compose([t, d]))(tot_2, down_rep)
+
+        out["tot_1"] = tot_1
+        out["tot_2"] = tot_2
+
+        if self.return_moved:
+            shape_out = tot_1.shape[1:-1]
+            mov = lambda im, t: jax.vmap(
+                lambda i, w: warp_ops.transform(i, w, fill_value=0.0,
+                                                shift_center=False))(im, t)
+            out["moved_1"] = mov(full_1, tot_1)
+            out["moved_2"] = mov(full_2, tot_2)
+        return out

@@ -1,6 +1,6 @@
 """TPU-native tensor ops: interpolation, warping, affine algebra, augmentation."""
 
-from . import affine, augment, interp, warp
+from . import affine, augment, image, interp, warp
 from .affine import (
     affine_add_identity,
     affine_matrix_to_params,
@@ -16,6 +16,7 @@ from .affine import (
     rotation_matrix_to_angles,
     validate_affine_shape,
 )
+from .image import barycenter, draw_multiscale_noise, gaussian_blur, sqrtm
 from .augment import draw_affine_params, draw_flip_matrix, draw_swap_matrix
 from .interp import interpn, ndgrid, point_interpn, resize, volshape_to_meshgrid
 from .warp import (
