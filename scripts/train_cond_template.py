@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Build a conditional (phenotype-driven) deformable template.
+
+CLI-compatible with /root/reference/scripts/tf/train_cond_template.py.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--img-list', required=True, help='line-seperated list of training files')
+    parser.add_argument('--img-prefix', help='optional input image file prefix')
+    parser.add_argument('--img-suffix', help='optional input image file suffix')
+    parser.add_argument('--pheno-csv', required=True,
+                        help='csv file defining training data attributes')
+    parser.add_argument('--atlas', help='atlas filename')
+    parser.add_argument('--model-dir', default='models', help='model output directory')
+    parser.add_argument('--multichannel', action='store_true')
+    parser.add_argument('--gpu', default='0', help='ignored (TPU auto-detected)')
+    parser.add_argument('--batch-size', type=int, default=1)
+    parser.add_argument('--epochs', type=int, default=1500)
+    parser.add_argument('--steps-per-epoch', type=int, default=100)
+    parser.add_argument('--load-weights', help='optional weights file to initialize with')
+    parser.add_argument('--initial-epoch', type=int, default=0)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--enc', type=int, nargs='+')
+    parser.add_argument('--dec', type=int, nargs='+')
+    parser.add_argument('--image-loss', default='ncc', help='mse or ncc')
+    parser.add_argument('--image-loss-weight', type=float, default=1.0)
+    parser.add_argument('--mean-loss-weight', type=float, default=1.0)
+    parser.add_argument('--grad-loss-weight', type=float, default=1.0)
+    parser.add_argument('--deform-loss-weight', type=float, default=0.01)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import voxelmorph_tpu as vxm
+    from voxelmorph_tpu.models import ConditionalTemplateCreation
+    from voxelmorph_tpu.training import LossTerm, Trainer
+
+    train_files = vxm.py.utils.read_file_list(args.img_list, prefix=args.img_prefix,
+                                              suffix=args.img_suffix)
+    assert len(train_files) > 0, 'Could not find any training data.'
+    add_feat_axis = not args.multichannel
+
+    pheno, train_files = vxm.py.utils.load_pheno_csv(args.pheno_csv, train_files)
+    pheno_shape = next(iter(pheno.values())).shape
+
+    if args.atlas:
+        atlas = vxm.py.utils.load_volfile(args.atlas, np_var='vol',
+                                          add_batch_axis=True,
+                                          add_feat_axis=add_feat_axis)
+    else:
+        # default: zero atlas of the training volume shape
+        probe = vxm.py.utils.load_volfile(train_files[0], add_batch_axis=True,
+                                          add_feat_axis=add_feat_axis)
+        atlas = np.zeros_like(probe)
+
+    generator = vxm.generators.conditional_template_creation(
+        train_files, atlas, pheno, batch_size=args.batch_size,
+        add_feat_axis=add_feat_axis)
+    sample = next(generator)
+    inshape = atlas.shape[1:-1]
+    nfeats = atlas.shape[-1]
+
+    enc_nf = args.enc if args.enc else [16, 32, 32, 32]
+    dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
+
+    model = ConditionalTemplateCreation(
+        inshape=tuple(inshape),
+        pheno_input_shape=tuple(pheno_shape),
+        nb_unet_features=[enc_nf, dec_nf],
+        conv_nb_features=4,
+        extra_conv_layers=3,
+        src_feats=nfeats,
+    )
+
+    if args.image_loss == 'ncc':
+        image_loss_func = vxm.losses.NCC().loss
+    elif args.image_loss == 'mse':
+        image_loss_func = vxm.losses.MSE().loss
+    else:
+        raise ValueError(f'Image loss should be "mse" or "ncc", but found "{args.image_loss}"')
+
+    # reference output order: [y_source, mean_stream, pos_flow, pos_flow]
+    # vs targets [vols, zeros, zeros, zeros]
+    terms = [
+        LossTerm('y_source', image_loss_func,
+                 weight=args.image_loss_weight, target_index=0),
+        LossTerm('mean_stream', vxm.losses.MSE().loss,
+                 weight=args.mean_loss_weight, target_index=1, name='mean_stream'),
+        LossTerm('pos_flow', vxm.losses.Grad('l2', loss_mult=2).loss,
+                 weight=args.grad_loss_weight, target_index=2, name='grad'),
+        LossTerm('pos_flow', vxm.losses.MSE().loss,
+                 weight=args.deform_loss_weight, target_index=3, name='deform'),
+    ]
+
+    trainer = Trainer(model, terms, lr=args.lr)
+    if args.load_weights:
+        trainer.load(args.load_weights)
+    else:
+        trainer.init(tuple(sample[0]))
+
+    trainer.fit(generator, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+                initial_epoch=args.initial_epoch, model_dir=args.model_dir,
+                save_freq_epochs=20)
+
+
+if __name__ == '__main__':
+    main()

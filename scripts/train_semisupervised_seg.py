@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Semi-supervised training with auxiliary segmentation warping + Dice loss.
+
+CLI-compatible with /root/reference/scripts/tf/train_semisupervised_seg.py.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--img-list', required=True, help='line-seperated list of training files')
+    parser.add_argument('--img-suffix', help='input image file suffix')
+    parser.add_argument('--seg-suffix', help='input seg file suffix')
+    parser.add_argument('--img-prefix', help='input image file prefix')
+    parser.add_argument('--seg-prefix', help='input seg file prefix')
+    parser.add_argument('--labels', required=True, help='label list (npy) for dice loss')
+    parser.add_argument('--model-dir', default='models', help='model output directory')
+    parser.add_argument('--atlas', help='optional atlas for scan-to-atlas training')
+    parser.add_argument('--gpu', default='0', help='ignored (TPU auto-detected)')
+    parser.add_argument('--epochs', type=int, default=1500)
+    parser.add_argument('--steps-per-epoch', type=int, default=100)
+    parser.add_argument('--load-weights', help='optional weights file to initialize with')
+    parser.add_argument('--initial-epoch', type=int, default=0)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--enc', type=int, nargs='+')
+    parser.add_argument('--dec', type=int, nargs='+')
+    parser.add_argument('--int-steps', type=int, default=7)
+    parser.add_argument('--int-downsize', type=int, default=2)
+    parser.add_argument('--image-loss', default='mse', help='mse or ncc')
+    parser.add_argument('--grad-loss-weight', type=float, default=0.01)
+    parser.add_argument('--dice-loss-weight', type=float, default=0.01)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import voxelmorph_tpu as vxm
+    from voxelmorph_tpu.models import VxmDenseSemiSupervisedSeg
+    from voxelmorph_tpu.training import LossTerm, Trainer
+
+    if args.img_prefix == args.seg_prefix and args.img_suffix == args.seg_suffix:
+        print('Error: Must provide a differing file suffix and/or prefix for images and segs.')
+        sys.exit(1)
+    train_imgs = vxm.py.utils.read_file_list(args.img_list, prefix=args.img_prefix,
+                                             suffix=args.img_suffix)
+    train_segs = vxm.py.utils.read_file_list(args.img_list, prefix=args.seg_prefix,
+                                             suffix=args.seg_suffix)
+    assert len(train_imgs) > 0, 'Could not find any training data.'
+
+    train_labels = np.load(args.labels)
+    generator = vxm.generators.semisupervised(
+        train_imgs, train_segs, labels=train_labels, atlas_file=args.atlas)
+    sample = next(generator)
+    inshape = sample[0][0].shape[1:-1]
+
+    enc_nf = args.enc if args.enc else [16, 32, 32, 32]
+    dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
+
+    model = VxmDenseSemiSupervisedSeg(
+        inshape=tuple(inshape),
+        nb_unet_features=[enc_nf, dec_nf],
+        nb_labels=len(train_labels),
+        int_steps=args.int_steps,
+        int_resolution=args.int_downsize,
+    )
+
+    if args.image_loss == 'ncc':
+        image_loss_func = vxm.losses.NCC().loss
+    elif args.image_loss == 'mse':
+        image_loss_func = vxm.losses.MSE().loss
+    else:
+        raise ValueError(f'Image loss should be "mse" or "ncc", but found "{args.image_loss}"')
+
+    # generator targets: [trg_vol, zero_warp, trg_seg]
+    terms = [
+        LossTerm('y_source', image_loss_func, weight=1.0, target_index=0),
+        LossTerm('reg', vxm.losses.Grad('l2', loss_mult=args.int_downsize).loss,
+                 weight=args.grad_loss_weight, target_index=1, name='grad'),
+        LossTerm('y_seg_source', vxm.losses.Dice().loss,
+                 weight=args.dice_loss_weight, target_index=2, name='dice'),
+    ]
+
+    trainer = Trainer(model, terms, lr=args.lr)
+    if args.load_weights:
+        trainer.load(args.load_weights)
+    else:
+        trainer.init(tuple(sample[0]))
+
+    trainer.fit(generator, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+                initial_epoch=args.initial_epoch, model_dir=args.model_dir,
+                save_freq_epochs=20)
+
+
+if __name__ == '__main__':
+    main()

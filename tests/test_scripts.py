@@ -1,0 +1,184 @@
+"""Smoke-run every workload script end-to-end on tiny synthetic data.
+
+These drive the real CLI entry points (the framework's L6 layer) with 1-2
+steps each, verifying wiring: generator -> model -> losses -> checkpoint.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+import voxelmorph_tpu as vxm  # noqa: E402
+
+
+RNG = np.random.default_rng(13)
+SHAPE = (12, 12, 12)
+TINY = ["--enc", "4", "8", "--dec", "8", "4"]
+SHORT = ["--epochs", "1", "--steps-per-epoch", "2"]
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scriptdata")
+    grids = np.meshgrid(*[np.arange(s, dtype=float) for s in SHAPE], indexing="ij")
+    files = []
+    for i in range(3):
+        c = [6 + RNG.uniform(-2, 2) for _ in range(3)]
+        d2 = sum((g - cc) ** 2 for g, cc in zip(grids, c))
+        vol = np.exp(-d2 / 16.0).astype(np.float32)
+        seg = np.zeros(SHAPE, np.int32)
+        seg[d2 < 4] = 1
+        seg[(d2 >= 4) & (d2 < 9)] = 2
+        path = str(d / f"scan{i}.npz")
+        np.savez(path, vol=vol, seg=seg)
+        files.append(path)
+    (d / "list.txt").write_text("\n".join(files) + "\n")
+    np.save(str(d / "labels.npy"), np.array([1, 2]))
+    # atlas with vol + seg
+    np.savez(str(d / "atlas.npz"), vol=np.exp(-sum((g - 6) ** 2 for g in grids) / 16.0)
+             .astype(np.float32), seg=(sum((g - 6) ** 2 for g in grids) < 5).astype(np.int32))
+    return d
+
+
+def test_train_semisupervised_seg(data, tmp_path):
+    import train_semisupervised_seg as script
+    script.main([
+        "--img-list", str(data / "list.txt"),
+        "--img-suffix", "",
+        "--seg-prefix", "",
+        "--labels", str(data / "labels.npy"),
+        "--model-dir", str(tmp_path / "m"),
+        "--int-steps", "2", *TINY, *SHORT,
+    ])
+    assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
+
+
+def test_train_template(data, tmp_path):
+    import train_template as script
+    script.main([
+        "--img-list", str(data / "list.txt"),
+        "--model-dir", str(tmp_path / "m"),
+        "--image-loss", "mse", *TINY, *SHORT,
+    ])
+    assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
+
+
+def test_train_cond_template(data, tmp_path):
+    import train_cond_template as script
+    files = vxm.py.utils.read_file_list(str(data / "list.txt"))
+    csv = tmp_path / "pheno.csv"
+    rows = ["file,age"] + [f"{os.path.basename(f)},{50 + i}" for i, f in enumerate(files)]
+    csv.write_text("\n".join(rows) + "\n")
+    script.main([
+        "--img-list", str(data / "list.txt"),
+        "--pheno-csv", str(csv),
+        "--model-dir", str(tmp_path / "m"),
+        "--image-loss", "mse", *TINY, *SHORT,
+    ])
+    assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
+
+
+def test_train_hypermorph(data, tmp_path):
+    import train_hypermorph as script
+    script.main([
+        "--img-list", str(data / "list.txt"),
+        "--model-dir", str(tmp_path / "m"),
+        "--int-steps", "2", *TINY, *SHORT,
+    ])
+    assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
+
+
+def test_train_instance(data, tmp_path):
+    import train_instance as script
+    files = vxm.py.utils.read_file_list(str(data / "list.txt"))
+    moved = str(tmp_path / "moved.nii.gz")
+    warp = str(tmp_path / "warp.nii.gz")
+    script.main([
+        "--moving", files[0],
+        "--fixed", files[1],
+        "--moved", moved,
+        "--warp", warp,
+        "--steps", "10",
+        "--int-steps", "2",
+    ])
+    assert vxm.py.utils.load_volfile(moved).shape == SHAPE
+    assert vxm.py.utils.load_volfile(warp).shape == (*SHAPE, 3)
+
+
+def test_train_synthmorph(data, tmp_path):
+    import train_synthmorph as script
+    # label maps as npy files in a directory
+    lab_dir = tmp_path / "labels"
+    lab_dir.mkdir()
+    for i in range(2):
+        np.save(str(lab_dir / f"map{i}.npy"),
+                RNG.integers(0, 3, size=SHAPE).astype(np.int32))
+    script.main([
+        "--label-dir", str(lab_dir),
+        "--model-dir", str(tmp_path / "m"),
+        "--out-labels", "nonexistent.npy",  # fall back to all labels
+        "--vel-res", "4",
+        "--bias-res", "4",
+        "--int-steps", "2",
+        "--enc", "4", "8", "--dec", "8", "4", "4",
+        "--epochs", "1", "--steps-per-epoch", "2",
+    ])
+    assert os.path.isfile(str(tmp_path / "m" / "00001.npz"))
+
+
+def test_train_and_test_unsupervised_seg(data, tmp_path):
+    import train_unsupervised_seg as train_script
+    import test_unsupervised_seg as test_script
+
+    # probabilistic atlas with 3 label channels
+    prob = RNG.random((*SHAPE, 3)).astype(np.float32)
+    prob /= prob.sum(-1, keepdims=True)
+    atlas_path = str(tmp_path / "prob_atlas.npz")
+    np.savez(atlas_path, vol=prob)
+    mapping_path = str(tmp_path / "mapping.npy")
+    np.save(mapping_path, np.array([0, 1, 2, 2], np.int32))  # 4 full -> 3 tissue
+    full_path = str(tmp_path / "full_atlas.npz")
+    full = RNG.random((*SHAPE, 4)).astype(np.float32)
+    np.savez(full_path, vol=full)
+
+    model_dir = str(tmp_path / "m")
+    train_script.main([
+        "--img-list", str(data / "list.txt"),
+        "--atlas", atlas_path,
+        "--model-dir", model_dir,
+        *TINY, *SHORT,
+    ])
+    ckpt = os.path.join(model_dir, "0001.npz")
+    assert os.path.isfile(ckpt)
+
+    files = vxm.py.utils.read_file_list(str(data / "list.txt"))
+    seg_out = str(tmp_path / "seg.nii.gz")
+    test_script.main([
+        files[0], seg_out,
+        "--model", ckpt,
+        "--atlas", atlas_path,
+        "--atlas-full", full_path,
+        "--mapping", mapping_path,
+        "--max-feats", "2",
+        "--stats", str(tmp_path / "stats.npz"),
+    ])
+    seg = vxm.py.utils.load_volfile(seg_out)
+    assert seg.shape == SHAPE
+    assert seg.max() <= 3
+
+
+def test_train_semisupervised_pointcloud(data, tmp_path):
+    import train_semisupervised_pointcloud as script
+    script.main([
+        "--img-list", str(data / "list.txt"),
+        "--atlas", str(data / "atlas.npz"),
+        "--model-dir", str(tmp_path / "m"),
+        "--surf-points", "40",
+        "--surf-bidir",
+        "--int-steps", "2", *TINY, *SHORT,
+    ])
+    assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))

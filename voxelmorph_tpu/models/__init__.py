@@ -4,7 +4,8 @@ from . import atlas, hyper, modelio, synthmorph, unet, vxm
 from .atlas import (ConditionalTemplateCreation, MeanStream,
                     ProbAtlasSegmentation, TemplateCreation)
 from .hyper import HyperVxmDense
-from .synthmorph import (HyperVxmJoint, LabelsToImageConfig, VxmAffineFeatureDetector, labels_to_image)
+from .synthmorph import (HyperVxmJoint, LabelsToImageConfig, SynthMorphDense,
+                         VxmAffineFeatureDetector, labels_to_image)
 from .modelio import load_model, register_model, save_model
 from .unet import Unet
 from .vxm import (InstanceDense, Transform, VxmDense,

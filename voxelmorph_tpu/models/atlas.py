@@ -88,6 +88,7 @@ class TemplateCreation(nn.Module):
         )(atlas_b, source, train=train)
 
         out["atlas"] = atlas
+        out["atlas_tensor"] = atlas_b  # batched, for y_target-vs-atlas losses
         out["mean_stream"] = MeanStream(cap=self.mean_cap, name="mean_stream")(
             out["neg_flow"], train=train)
         return out

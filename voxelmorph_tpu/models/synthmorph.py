@@ -167,6 +167,47 @@ def _center_fit(x, out_shape):
     return x
 
 
+class SynthMorphDense(nn.Module):
+    """VxmDense trained end-to-end on device-synthesized image pairs.
+
+    The train-time composition of scripts/tf/train_synthmorph.py:142-158 as a
+    single module: two labels_to_image synthesizers (rng stream 'synth') feed
+    a VxmDense; the source one-hot map is warped by pos_flow for the Dice
+    loss against the target map. Call with (src_labels, trg_labels).
+    """
+
+    cfg: Any  # LabelsToImageConfig (static)
+    nb_unet_features: Any = None
+    int_steps: int = 5
+    int_resolution: int = 2
+    svf_resolution: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src_labels, trg_labels, train: bool = True):
+        from .vxm import VxmDense  # local import to avoid cycles
+
+        key = self.make_rng("synth") if train else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        ima_1, map_1 = labels_to_image(k1, src_labels, self.cfg)
+        ima_2, map_2 = labels_to_image(k2, trg_labels, self.cfg)
+
+        out = VxmDense(
+            inshape=self.cfg.out_shape,
+            nb_unet_features=self.nb_unet_features,
+            int_steps=self.int_steps,
+            int_resolution=self.int_resolution,
+            svf_resolution=self.svf_resolution,
+            dtype=self.dtype,
+            name="vxm",
+        )(ima_1, ima_2, train=train)
+
+        out["image_1"], out["image_2"] = ima_1, ima_2
+        out["map_1"], out["map_2"] = map_1, map_2
+        out["pred_map"] = jax.vmap(warp_ops.transform)(map_1, out["pos_flow"])
+        return out
+
+
 def _scale_matrix(fact, nd):
     return jnp.diag(jnp.asarray([*([fact] * nd), 1.0], jnp.float32))[:-1]
 

@@ -28,32 +28,44 @@ __all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch"]
 
 
 class LossTerm:
-    """One wired loss: model-output key + loss fn + weight + target index.
+    """One wired loss: model-output key + loss fn + weight + target.
 
     target_index selects which element of the generator's target tuple this
-    loss compares against (mirroring Keras' positional compile semantics).
+    loss compares against (mirroring Keras' positional compile semantics);
+    target_output_key instead compares against another model output (used by
+    SynthMorph, where the Dice target is itself synthesized on device).
+    ``weight`` may be a callable ``(inputs, outputs) -> scalar or (B,)`` for
+    input-dependent weighting (HyperMorph's per-sample lambda).
     """
 
-    def __init__(self, output_key: str, fn: Callable, weight: float = 1.0,
-                 target_index: Optional[int] = None, name: Optional[str] = None):
+    def __init__(self, output_key: str, fn: Callable, weight=1.0,
+                 target_index: Optional[int] = None, name: Optional[str] = None,
+                 target_output_key: Optional[str] = None):
         self.output_key = output_key
         self.fn = fn
         self.weight = weight
         self.target_index = target_index
+        self.target_output_key = target_output_key
         self.name = name or output_key
 
 
 def make_loss_fn(model, loss_terms: Sequence[LossTerm],
-                 needs_sample_rng: bool = False):
+                 needs_sample_rng: bool = False, rng_names: Sequence[str] = ()):
     """Build loss_fn(params, state, inputs, targets, rng)
     -> (total, (metrics, new_state)).
 
     ``state`` carries non-param variable collections (e.g. MeanStream's
-    'stream') which the model may mutate during a training step.
+    'stream') which the model may mutate during a training step. ``rng_names``
+    lists the model's rng streams (e.g. 'sample', 'synth'), each derived from
+    the step rng.
     """
+    names = list(rng_names) or (["sample"] if needs_sample_rng else [])
 
     def loss_fn(params, state, inputs, targets, rng):
-        rngs = {"sample": rng} if needs_sample_rng else None
+        rngs = None
+        if names:
+            keys = jax.random.split(rng, len(names))
+            rngs = dict(zip(names, keys))
         variables = {"params": params, **state}
         if state:
             out, new_state = model.apply(variables, *inputs, rngs=rngs,
@@ -64,10 +76,15 @@ def make_loss_fn(model, loss_terms: Sequence[LossTerm],
         total = 0.0
         metrics = {}
         for i, term in enumerate(loss_terms):
-            tgt_idx = term.target_index if term.target_index is not None else i
-            val = jnp.mean(term.fn(targets[tgt_idx], out[term.output_key]))
-            total = total + term.weight * val
-            metrics[term.name] = val
+            if term.target_output_key is not None:
+                y_true = out[term.target_output_key]
+            else:
+                tgt_idx = term.target_index if term.target_index is not None else i
+                y_true = targets[tgt_idx]
+            raw = term.fn(y_true, out[term.output_key])
+            w = term.weight(inputs, out) if callable(term.weight) else term.weight
+            total = total + jnp.mean(w * raw)
+            metrics[term.name] = jnp.mean(raw)
         metrics["loss"] = total
         return total, (metrics, new_state)
 
@@ -75,12 +92,14 @@ def make_loss_fn(model, loss_terms: Sequence[LossTerm],
 
 
 def make_train_step(model, loss_terms: Sequence[LossTerm], tx,
-                    needs_sample_rng: bool = False, donate: bool = True):
+                    needs_sample_rng: bool = False, donate: bool = True,
+                    rng_names: Sequence[str] = ()):
     """Build the jitted train step:
     (params, state, opt_state, rng, inputs, targets)
     -> (params, state, opt_state, metrics).
     Buffers are donated so params update in place in HBM."""
-    loss_fn = make_loss_fn(model, loss_terms, needs_sample_rng=needs_sample_rng)
+    loss_fn = make_loss_fn(model, loss_terms, needs_sample_rng=needs_sample_rng,
+                           rng_names=rng_names)
 
     def step(params, state, opt_state, rng, inputs, targets):
         grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -126,16 +145,18 @@ class Trainer:
 
     def __init__(self, model, loss_terms: Sequence[LossTerm], lr: float = 1e-4,
                  mesh=None, needs_sample_rng: bool = False, seed: int = 0,
-                 spatial_shard: bool = False, tx=None):
+                 spatial_shard: bool = False, tx=None,
+                 rng_names: Sequence[str] = ()):
         self.model = model
         self.loss_terms = list(loss_terms)
         self.tx = tx if tx is not None else optax.adam(lr)
         self.mesh = mesh  # lazily built from the first batch if None
-        self.needs_sample_rng = needs_sample_rng
+        self.rng_names = list(rng_names) or (["sample"] if needs_sample_rng else [])
+        self.needs_sample_rng = bool(self.rng_names)
         self.spatial_shard = spatial_shard
         self.base_rng = jax.random.PRNGKey(seed)
         self.step_fn = make_train_step(model, self.loss_terms, self.tx,
-                                       needs_sample_rng=needs_sample_rng)
+                                       rng_names=self.rng_names)
         self.params = None
         self.state = {}  # non-param variable collections (e.g. 'stream')
         self.opt_state = None
@@ -156,8 +177,8 @@ class Trainer:
             self.mesh = mesh_lib.make_mesh_for_batch(1)
         if params is None:
             rngs = {"params": self.base_rng}
-            if self.needs_sample_rng:
-                rngs["sample"] = self.base_rng
+            for name in self.rng_names:
+                rngs[name] = self.base_rng
             inputs_dev = self._put(sample_inputs)
             variables = self.model.init(rngs, *inputs_dev)
             params = variables.pop("params")
