@@ -25,6 +25,7 @@ from .interp import interpn, ndgrid, resize
 
 __all__ = [
     "transform",
+    "windowed_transform",
     "batch_transform",
     "compose",
     "rescale_dense_transform",
@@ -35,6 +36,48 @@ __all__ = [
 ]
 
 
+def windowed_transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Dense warp for displacement magnitudes bounded by ``halo`` voxels.
+
+    Rewrites the trilinear gather as a sum over integer offsets d in
+    [-halo-1, halo+1]^N of *contiguous shifted slices* weighted by the
+    per-voxel triangle kernel max(0, 1-|shift - d|): every memory access is
+    sequential (full HBM bandwidth, no gather transactions), and the VJP is
+    pads/slices instead of scatters. Only correct when |shift| <= halo
+    element-wise — callers guard with ``lax.cond`` (see ``transform``).
+
+    vol: (*S, C); loc_shift: (*S, N) with N == len(S). Edge behavior matches
+    the clamped gather path: coordinates are clamped to [0, dim-1] before
+    interpolation.
+    """
+    nd = loc_shift.shape[-1]
+    spatial = vol.shape[:-1]
+    # clamp sampling coordinates exactly like the gather path
+    grid = ndgrid(spatial, dtype=loc_shift.dtype)
+    max_loc = jnp.asarray([s - 1 for s in spatial], loc_shift.dtype)
+    coords = jnp.clip(grid + loc_shift, 0.0, max_loc)
+    d = coords - grid  # effective shift after clamping, |d| <= halo + 1
+
+    pad = halo + 1
+    pads = [(pad, pad)] * nd + [(0, 0)]
+    vol_p = jnp.pad(vol, pads, mode="edge")
+
+    out = jnp.zeros_like(vol)
+    offsets = range(-pad, pad + 1)
+    import itertools
+    for off in itertools.product(offsets, repeat=nd):
+        w = None
+        for axis in range(nd):
+            t = jnp.maximum(0.0, 1.0 - jnp.abs(d[..., axis] - off[axis]))
+            w = t if w is None else w * t
+        idx = tuple(
+            slice(pad + off[axis], pad + off[axis] + spatial[axis])
+            for axis in range(nd)
+        )
+        out = out + vol_p[idx] * w[..., None]
+    return out
+
+
 def transform(
     vol: jnp.ndarray,
     loc_shift: jnp.ndarray,
@@ -42,6 +85,7 @@ def transform(
     fill_value: Optional[float] = None,
     shift_center: bool = True,
     shape: Optional[Sequence[int]] = None,
+    window_halo: Optional[int] = 1,
 ) -> jnp.ndarray:
     """Apply an affine or dense transform to a single (non-batched) image.
 
@@ -96,9 +140,33 @@ def transform(
         )(vol, loc_shift)
         return out[..., 0] if squeeze_channel else out
 
-    grid = ndgrid(loc_volshape, dtype=loc_shift.dtype)
-    loc = grid + loc_shift
-    out = interpn(vol, loc, interp_method=interp_method, fill_value=fill_value)
+    def gather_path(args):
+        v, s = args
+        grid = ndgrid(loc_volshape, dtype=s.dtype)
+        return interpn(v, grid + s, interp_method=interp_method,
+                       fill_value=fill_value)
+
+    # Runtime-adaptive fast path: when every displacement component is within
+    # `window_halo` voxels (always true for early scaling-and-squaring steps),
+    # warp via contiguous shifted slices instead of a random gather — far
+    # faster on TPU and with a scatter-free backward. lax.cond picks the
+    # branch per call at the cost of compiling both.
+    use_window = (
+        window_halo is not None
+        and interp_method == "linear"
+        and fill_value is None
+        and tuple(loc_volshape) == tuple(vol.shape[:-1])
+    )
+    if use_window:
+        max_d = jnp.max(jnp.abs(loc_shift))
+        out = jax.lax.cond(
+            max_d <= float(window_halo),
+            lambda args: windowed_transform(args[0], args[1], window_halo),
+            gather_path,
+            (vol, loc_shift),
+        )
+    else:
+        out = gather_path((vol, loc_shift))
     return out[..., 0] if squeeze_channel else out
 
 
