@@ -169,12 +169,19 @@ class Unet(nn.Module):
     nb_upsample_skips: int = 0
     hyper: bool = False
     final_activation_function: Optional[str] = None
+    remat: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, hyp=None):
         enc_nf, dec_nf = build_feature_lists(
             self.nb_features, self.nb_levels, self.feat_mult, self.nb_conv_per_level)
+
+        # Rematerialize each conv block in the backward pass: full-resolution
+        # 3-D U-Net activations otherwise exceed HBM during training (the
+        # decoder's full-res temps alone are multiple GB with TPU layout
+        # padding). ~1/3 extra forward FLOPs buys an O(depth) memory cut.
+        block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
 
         nb_dec_convs = len(enc_nf)
         final_convs = dec_nf[nb_dec_convs:]
@@ -186,9 +193,10 @@ class Unet(nn.Module):
             max_pool = [max_pool] * nb_levels
 
         def conv_block(h, nf, name, include_activation=True):
-            return ConvBlock(nf, self.ndims, do_res=self.do_res,
-                             include_activation=include_activation,
-                             hyper=self.hyper, dtype=self.dtype, name=name)(h, hyp)
+            block = block_cls(nf, self.ndims, do_res=self.do_res,
+                              include_activation=include_activation,
+                              hyper=self.hyper, dtype=self.dtype, name=name)
+            return block(h, hyp) if self.hyper else block(h)
 
         # encoder
         enc_layers = []

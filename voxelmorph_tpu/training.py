@@ -135,6 +135,37 @@ def prefetch(generator, size: int = 2):
         yield item
 
 
+class MetricsLogger:
+    """Structured per-epoch metrics: CSV file + optional stdout.
+
+    The reference has no metrics system beyond Keras progress bars
+    (SURVEY §5); this provides a machine-readable training record.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self._file = None
+        self._keys = None
+
+    def log(self, epoch: int, metrics: Dict[str, float], wall_s: float):
+        if self.path is None:
+            return
+        row = {"epoch": epoch, "wall_s": round(wall_s, 3),
+               **{k: float(v) for k, v in sorted(metrics.items())}}
+        if self._file is None:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            self._file = open(self.path, "a")
+            self._keys = list(row.keys())
+            self._file.write(",".join(self._keys) + "\n")
+        self._file.write(",".join(str(row.get(k, "")) for k in self._keys) + "\n")
+        self._file.flush()
+
+    def close(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+
 class Trainer:
     """Minimal epoch/step training driver with checkpointing and metrics.
 
@@ -204,8 +235,13 @@ class Trainer:
     def fit(self, generator, epochs: int, steps_per_epoch: int,
             initial_epoch: int = 0, model_dir: Optional[str] = None,
             save_freq_epochs: int = 20, save_filename: str = "{epoch:04d}.npz",
-            log_fn: Callable[[str], None] = print, prefetch_size: int = 2):
+            log_fn: Callable[[str], None] = print, prefetch_size: int = 2,
+            metrics_csv: Optional[str] = None, profile_dir: Optional[str] = None):
         gen = prefetch(generator, size=prefetch_size) if prefetch_size else generator
+        logger = MetricsLogger(metrics_csv or (
+            os.path.join(model_dir, "metrics.csv") if model_dir else None))
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
 
         if self.params is None:
             inputs, _ = next(gen)
@@ -227,10 +263,14 @@ class Trainer:
             msg = " - ".join(f"{k}: {v:.6f}" for k, v in sorted(last_metrics.items()))
             log_fn(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, "
                    f"{steps_per_epoch / dt:.2f} steps/s] {msg}")
+            logger.log(epoch + 1, last_metrics, dt)
 
             if model_dir and ((epoch + 1) % save_freq_epochs == 0 or epoch + 1 == epochs):
                 self.save(os.path.join(model_dir, save_filename.format(epoch=epoch + 1)))
 
+        logger.close()
+        if profile_dir:
+            jax.profiler.stop_trace()
         return last_metrics
 
     def save(self, path: str):
