@@ -138,7 +138,17 @@ def main(argv=None):
 
     trainer = Trainer(model, terms, lr=args.lr, needs_sample_rng=args.use_probs)
 
-    if args.load_weights:
+    if args.load_weights == 'latest':
+        # preemption recovery: resume from the newest checkpoint in model-dir
+        from voxelmorph_tpu.training import find_latest_checkpoint
+        path, epoch = find_latest_checkpoint(args.model_dir)
+        if path:
+            print(f'resuming from {path} (epoch {epoch})')
+            trainer.load(path)
+            args.initial_epoch = max(args.initial_epoch, epoch)
+        else:
+            trainer.init(tuple(sample[0]))
+    elif args.load_weights:
         trainer.load(args.load_weights)
     else:
         trainer.init(tuple(sample[0]))

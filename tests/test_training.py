@@ -109,3 +109,13 @@ def test_prefetch_preserves_order_and_values():
     items = [({"a": i}, i * 2) for i in range(5)]
     out = list(prefetch(iter(items), size=2))
     assert out == items
+
+
+def test_find_latest_checkpoint(tmp_path):
+    from voxelmorph_tpu.training import find_latest_checkpoint
+    assert find_latest_checkpoint(str(tmp_path / "missing")) == (None, 0)
+    for e in (0, 20, 40):
+        (tmp_path / f"{e:04d}.npz").write_bytes(b"x")
+    (tmp_path / "notes.txt").write_bytes(b"x")
+    path, epoch = find_latest_checkpoint(str(tmp_path))
+    assert epoch == 40 and path.endswith("0040.npz")

@@ -168,3 +168,36 @@ def test_value_at_location():
     pts = jnp.asarray([[2.0, 3.0]])
     out = np.asarray(W.value_at_location(vol, pts))
     np.testing.assert_allclose(out[0, 0], abs(float(vol[2, 3, 0])), atol=1e-5)
+
+
+def test_integrate_vec_ode_matches_ss():
+    # for smooth small fields, RK4 ode and scaling-and-squaring agree
+    v = jnp.asarray(smooth_field((12, 12), scale=0.8, nd=2))
+    ss = np.asarray(W.integrate_vec(v, method="ss", nb_steps=7))
+    ode = np.asarray(W.integrate_vec(v, method="ode", nb_steps=8))
+    np.testing.assert_allclose(ss, ode, atol=0.05)
+
+
+def test_integrate_vec_ode_partial_time():
+    v = jnp.asarray(smooth_field((10, 10), scale=0.5, nd=2))
+    half = np.asarray(W.integrate_vec(v, method="ode", nb_steps=8, out_time_pt=0.5))
+    full = np.asarray(W.integrate_vec(v, method="ode", nb_steps=8, out_time_pt=1.0))
+    # integrating half as long gives roughly half the displacement
+    np.testing.assert_allclose(half * 2, full, atol=0.05)
+
+
+def test_integrate_vec_time_dependent_ss():
+    # constant-in-time field must reduce to the stationary result
+    v = jnp.asarray(smooth_field((10, 10), scale=0.8, nd=2))
+    vt = jnp.repeat(v[None], 8, axis=0)  # 2**3 time steps
+    td = np.asarray(W.integrate_vec(vt, method="ss", nb_steps=3, time_dep=True))
+    st = np.asarray(W.integrate_vec(v, method="ss", nb_steps=3))
+    np.testing.assert_allclose(td, st, atol=1e-4)
+
+
+def test_integrate_vec_quadrature_time_dependent():
+    v = jnp.asarray(smooth_field((10, 10), scale=0.5, nd=2))
+    vt = jnp.repeat(v[None], 4, axis=0)
+    td = np.asarray(W.integrate_vec(vt, method="quadrature", nb_steps=4, time_dep=True))
+    st = np.asarray(W.integrate_vec(v, method="quadrature", nb_steps=4))
+    np.testing.assert_allclose(td, st, atol=1e-4)

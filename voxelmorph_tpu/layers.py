@@ -67,15 +67,19 @@ class SpatialTransformer:
 
 
 class VecInt:
-    """Stationary-velocity-field integration layer (scaling and squaring).
+    """Velocity-field integration layer.
 
-    ``method='ss'`` with ``int_steps`` squarings (tf/layers.py:155-261).
+    ``method`` in ('ss', 'quadrature', 'ode') with ``int_steps`` steps;
+    'ode' integrates to ``out_time_pt`` with fixed-step RK4
+    (tf/layers.py:155-261).
     """
 
-    def __init__(self, method: str = "ss", int_steps: int = 7, remat: bool = True):
+    def __init__(self, method: str = "ss", int_steps: int = 7, remat: bool = True,
+                 out_time_pt: float = 1.0):
         self.method = method
         self.int_steps = int_steps
         self.remat = remat
+        self.out_time_pt = out_time_pt
 
     def __call__(self, vec):
         if vec.shape[-1] != vec.ndim - 2:
@@ -83,7 +87,8 @@ class VecInt:
                 f"transform ndims {vec.shape[-1]} does not match expected {vec.ndim - 2}")
         return jax.vmap(
             lambda v: warp_ops.integrate_vec(
-                v, method=self.method, nb_steps=self.int_steps, remat=self.remat)
+                v, method=self.method, nb_steps=self.int_steps, remat=self.remat,
+                out_time_pt=self.out_time_pt)
         )(vec)
 
 

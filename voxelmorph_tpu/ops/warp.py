@@ -260,21 +260,38 @@ def integrate_vec(
     method: str = "ss",
     nb_steps: int = 7,
     remat: bool = True,
+    out_time_pt: float = 1.0,
+    time_dep: bool = False,
 ) -> jnp.ndarray:
-    """Integrate a stationary velocity field to a displacement field.
+    """Integrate a (stationary or time-dependent) velocity field.
 
-    'ss' (scaling and squaring): ``v /= 2**n`` then n self-compositions
-    ``v <- v + v o (id + v)``. 'quadrature': ``v /= n`` then n-1 compositions
-    of the *original* scaled field along the running displacement. Semantics
-    per tf/utils/utils.py:392-426, integrating to time 1.
+    Methods (semantics per tf/utils/utils.py:350-462, integrating to time 1):
+      'ss' (scaling and squaring): ``v /= 2**n`` then n self-compositions
+        ``v <- v + v o (id + v)``. With ``time_dep``, ``vec`` has a leading
+        time axis of length 2**n and adjacent pairs are composed per level.
+      'quadrature': ``v /= n`` then n-1 compositions of the scaled field
+        along the running displacement (time-dep: one field per step).
+      'ode': fixed-step RK4 on ``d(disp)/dt = vec o (id + disp)`` from 0 to
+        ``out_time_pt`` in nb_steps steps (replaces tf.contrib odeint).
 
     Args:
-      vec: ``(*vol_shape, N)`` velocity field (single sample; vmap for batch).
-      remat: rematerialize each squaring step in the backward pass, trading
-        recompute for not keeping every intermediate field in HBM.
+      vec: ``(*vol_shape, N)`` velocity field (single sample; vmap for
+        batch), or ``(T, *vol_shape, N)`` when ``time_dep``.
+      remat: rematerialize each step in the backward pass, trading recompute
+        for not keeping every intermediate field in HBM.
     """
     if method in ("ss", "scaling_and_squaring"):
         assert nb_steps >= 0, f"nb_steps should be >= 0, found: {nb_steps}"
+        if time_dep:
+            assert vec.shape[0] == 2 ** nb_steps, \
+                "time_dep ss needs a leading time axis of length 2**nb_steps"
+            svec = vec / (2.0 ** nb_steps)
+            for _ in range(nb_steps):
+                pair = lambda a, b: b + transform(a, b)
+                if remat:
+                    pair = jax.checkpoint(pair)
+                svec = jax.vmap(pair)(svec[1::2], svec[0::2])
+            return svec[0]
         vec = vec / (2.0 ** nb_steps)
         step = lambda v: v + transform(v, v)
         if remat:
@@ -285,6 +302,11 @@ def integrate_vec(
     elif method == "quadrature":
         assert nb_steps >= 1, f"nb_steps should be >= 1, found: {nb_steps}"
         vec = vec / nb_steps
+        if time_dep:
+            disp = vec[0]
+            for si in range(nb_steps - 1):
+                disp = disp + transform(vec[si + 1], disp)
+            return disp
         disp = vec
         step = lambda d: d + transform(vec, d)
         if remat:
@@ -292,7 +314,26 @@ def integrate_vec(
         for _ in range(nb_steps - 1):
             disp = step(disp)
         return disp
-    raise ValueError(f"method must be 'ss' or 'quadrature', found: {method}")
+    elif method == "ode":
+        assert not time_dep, "ode not implemented for time-dependent fields"
+        assert nb_steps >= 1, f"nb_steps should be >= 1, found: {nb_steps}"
+        h = out_time_pt / nb_steps
+        f = lambda d: transform(vec, d)
+
+        def rk4_step(d):
+            k1 = f(d)
+            k2 = f(d + 0.5 * h * k1)
+            k3 = f(d + 0.5 * h * k2)
+            k4 = f(d + h * k3)
+            return d + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+        if remat:
+            rk4_step = jax.checkpoint(rk4_step)
+        disp = jnp.zeros_like(vec)
+        for _ in range(nb_steps):
+            disp = rk4_step(disp)
+        return disp
+    raise ValueError(f"method must be 'ss', 'quadrature', or 'ode', found: {method}")
 
 
 def point_spatial_transformer(

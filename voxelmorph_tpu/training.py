@@ -113,6 +113,25 @@ def make_train_step(model, loss_terms: Sequence[LossTerm], tx,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def find_latest_checkpoint(model_dir: str):
+    """Return (path, epoch) of the newest numbered checkpoint, or (None, 0).
+
+    The framework's preemption-recovery primitive: TPU VMs can be preempted
+    at any time, so trainers resume from the latest periodic save
+    (``--load-weights latest`` in the CLI scripts).
+    """
+    import re
+    if not os.path.isdir(model_dir):
+        return None, 0
+    best, best_epoch = None, -1
+    for name in os.listdir(model_dir):
+        m = re.fullmatch(r"(\d+)\.npz", name)
+        if m and int(m.group(1)) > best_epoch:
+            best_epoch = int(m.group(1))
+            best = os.path.join(model_dir, name)
+    return (best, best_epoch) if best else (None, 0)
+
+
 def prefetch(generator, size: int = 2):
     """Run a python generator in a background thread with a bounded queue,
     overlapping host-side volume loading with device compute."""
