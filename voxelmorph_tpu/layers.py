@@ -60,9 +60,17 @@ class SpatialTransformer:
         vol, trf = inputs
         single = lambda v, t: warp_ops.transform(
             v, t, interp_method=self.interp_method, fill_value=self.fill_value,
-            shift_center=self.shift_center, shape=self.shape)
+            shift_center=self.shift_center, shape=self.shape, window_halo=None)
         if self.single_transform:
             return jax.vmap(lambda v: single(v, trf[0]))(vol)
+        # dense same-grid transforms take the batched adaptive fast path
+        if (not affine_ops.is_affine_shape(trf.shape[1:])
+                and self.shape is None
+                and trf.ndim == vol.ndim
+                and trf.shape[1:-1] == vol.shape[1:-1]):
+            return warp_ops.transform_batched(
+                vol, trf, interp_method=self.interp_method,
+                fill_value=self.fill_value)
         return jax.vmap(single)(vol, trf)
 
 
@@ -85,6 +93,9 @@ class VecInt:
         if vec.shape[-1] != vec.ndim - 2:
             raise ValueError(
                 f"transform ndims {vec.shape[-1]} does not match expected {vec.ndim - 2}")
+        if self.method in ("ss", "scaling_and_squaring"):
+            return warp_ops.integrate_vec_batched(
+                vec, nb_steps=self.int_steps, remat=self.remat)
         return jax.vmap(
             lambda v: warp_ops.integrate_vec(
                 v, method=self.method, nb_steps=self.int_steps, remat=self.remat,

@@ -204,7 +204,7 @@ class SynthMorphDense(nn.Module):
 
         out["image_1"], out["image_2"] = ima_1, ima_2
         out["map_1"], out["map_2"] = map_1, map_2
-        out["pred_map"] = jax.vmap(warp_ops.transform)(map_1, out["pos_flow"])
+        out["pred_map"] = warp_ops.transform_batched(map_1, out["pos_flow"])
         return out
 
 
@@ -495,8 +495,7 @@ class HyperVxmJoint(nn.Module):
         svf_2 = -svf_1
 
         if self.int_steps > 0:
-            integ = lambda v: jax.vmap(
-                lambda f: warp_ops.integrate_vec(f, nb_steps=self.int_steps))(v)
+            integ = lambda v: warp_ops.integrate_vec_batched(v, nb_steps=self.int_steps)
             def_1, def_2 = integ(svf_1), integ(svf_2)
         else:
             def_1, def_2 = svf_1, svf_2

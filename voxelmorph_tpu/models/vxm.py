@@ -134,11 +134,9 @@ class VxmDense(nn.Module):
         neg_flow = -flow if self.bidir else None
 
         if self.int_steps > 0:
-            integrate = lambda v: warp_ops.integrate_vec(
-                v, method="ss", nb_steps=self.int_steps)
-            pos_flow = jax.vmap(integrate)(pos_flow)
+            pos_flow = warp_ops.integrate_vec_batched(pos_flow, nb_steps=self.int_steps)
             if self.bidir:
-                neg_flow = jax.vmap(integrate)(neg_flow)
+                neg_flow = warp_ops.integrate_vec_batched(neg_flow, nb_steps=self.int_steps)
         outputs["postint_flow"] = pos_flow
 
         # back to full resolution
@@ -148,9 +146,8 @@ class VxmDense(nn.Module):
             if self.bidir:
                 neg_flow = rescale_flow(neg_flow, factor)
 
-        warp = lambda img, w: jax.vmap(
-            lambda i, f: warp_ops.transform(i, f, fill_value=self.fill_value)
-        )(img, w)
+        warp = lambda img, w: warp_ops.transform_batched(
+            img, w, fill_value=self.fill_value)
         y_source = warp(source.astype(jnp.float32), pos_flow)
         outputs["y_source"] = y_source
         outputs["unet_out"] = unet_out
@@ -217,13 +214,13 @@ class VxmDenseSemiSupervisedSeg(nn.Module):
         )(source, target, train=train)
 
         seg_flow = rescale_flow(out["pos_flow"], 1.0 / self.seg_resolution)
-        out["y_seg_source"] = jax.vmap(warp_ops.transform)(
+        out["y_seg_source"] = warp_ops.transform_batched(
             src_seg.astype(jnp.float32), seg_flow)
 
         if self.bidir_labels:
             assert trg_seg is not None, "bidir_labels requires a target segmentation input"
             neg_seg_flow = rescale_flow(out["neg_flow"], 1.0 / self.seg_resolution)
-            out["y_seg_target"] = jax.vmap(warp_ops.transform)(
+            out["y_seg_target"] = warp_ops.transform_batched(
                 trg_seg.astype(jnp.float32), neg_seg_flow)
         return out
 
@@ -312,13 +309,12 @@ class InstanceDense(nn.Module):
 
         pos_flow = preint_flow
         if self.int_steps > 0:
-            pos_flow = jax.vmap(
-                lambda v: warp_ops.integrate_vec(v, nb_steps=self.int_steps))(pos_flow)
+            pos_flow = warp_ops.integrate_vec_batched(pos_flow, nb_steps=self.int_steps)
             if self.int_resolution > 1:
                 factor = self.inshape[0] / flow_shape[0]
                 pos_flow = rescale_flow(pos_flow, factor)
 
-        y_source = jax.vmap(warp_ops.transform)(source, pos_flow)
+        y_source = warp_ops.transform_batched(source, pos_flow)
         return {"y_source": y_source, "preint_flow": preint_flow,
                 "pos_flow": pos_flow, "reg": preint_flow}
 
@@ -344,8 +340,15 @@ class Transform(nn.Module):
                 trf = rescale_affine(trf, self.rescale)
             else:
                 trf = rescale_flow(trf, self.rescale)
+        from ..ops.affine import is_affine_shape
+        if (not is_affine_shape(trf.shape[1:])
+                and trf.shape[1:-1] == img.shape[1:-1]):
+            return warp_ops.transform_batched(
+                img, trf, interp_method=self.interp_method,
+                fill_value=self.fill_value)
         return jax.vmap(
             lambda i, t: warp_ops.transform(
                 i, t, interp_method=self.interp_method,
-                fill_value=self.fill_value, shift_center=self.shift_center)
+                fill_value=self.fill_value, shift_center=self.shift_center,
+                window_halo=None)
         )(img, trf)

@@ -15,10 +15,17 @@ reference implementation (behavior preserved, mechanics re-thought):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+# Default halo for the adaptive windowed warp fast path. Compiling both cond
+# branches costs compile time, so CPU test runs may disable it via
+# VXM_WINDOW_HALO=0 (the dedicated windowed tests exercise it explicitly).
+_env_halo = os.environ.get("VXM_WINDOW_HALO", "1")
+DEFAULT_WINDOW_HALO: Optional[int] = int(_env_halo) if int(_env_halo or 0) > 0 else None
 
 from .affine import affine_to_dense_shift, is_affine_shape, make_square_affine
 from .interp import interpn, ndgrid, resize
@@ -26,10 +33,12 @@ from .interp import interpn, ndgrid, resize
 __all__ = [
     "transform",
     "windowed_transform",
+    "transform_batched",
     "batch_transform",
     "compose",
     "rescale_dense_transform",
     "integrate_vec",
+    "integrate_vec_batched",
     "point_spatial_transformer",
     "value_at_location",
     "jacobian_determinant",
@@ -85,7 +94,7 @@ def transform(
     fill_value: Optional[float] = None,
     shift_center: bool = True,
     shape: Optional[Sequence[int]] = None,
-    window_halo: Optional[int] = 1,
+    window_halo: Optional[int] = DEFAULT_WINDOW_HALO,
 ) -> jnp.ndarray:
     """Apply an affine or dense transform to a single (non-batched) image.
 
@@ -151,6 +160,11 @@ def transform(
     # warp via contiguous shifted slices instead of a random gather — far
     # faster on TPU and with a scatter-free backward. lax.cond picks the
     # branch per call at the cost of compiling both.
+    #
+    # CAREFUL: only enable on calls NOT wrapped in vmap — a vmapped cond
+    # executes BOTH branches (select semantics). Batched callers should use
+    # `transform_batched` / `integrate_vec_batched`, which hoist one cond
+    # above the whole batch.
     use_window = (
         window_halo is not None
         and interp_method == "linear"
@@ -168,6 +182,65 @@ def transform(
     else:
         out = gather_path((vol, loc_shift))
     return out[..., 0] if squeeze_channel else out
+
+
+def transform_batched(
+    vols: jnp.ndarray,
+    shifts: jnp.ndarray,
+    interp_method: str = "linear",
+    fill_value: Optional[float] = None,
+    window_halo: Optional[int] = DEFAULT_WINDOW_HALO,
+) -> jnp.ndarray:
+    """Batched dense warp with ONE adaptive dispatch for the whole batch.
+
+    vols (B, *S, C), shifts (B, *S, N). The windowed/gather decision is a
+    single lax.cond over max|shift| of the batch — hoisted above the vmap so
+    only one branch executes (vmapping a cond would run both).
+    """
+    gather = jax.vmap(lambda v, s: transform(
+        v, s, interp_method=interp_method, fill_value=fill_value,
+        window_halo=None))
+    use_window = (
+        window_halo is not None
+        and interp_method == "linear"
+        and fill_value is None
+        and shifts.ndim == vols.ndim
+        and tuple(shifts.shape[1:-1]) == tuple(vols.shape[1:-1])
+    )
+    if not use_window:
+        return gather(vols, shifts)
+    windowed = jax.vmap(lambda v, s: windowed_transform(v, s, window_halo))
+    return jax.lax.cond(
+        jnp.max(jnp.abs(shifts)) <= float(window_halo),
+        lambda args: windowed(*args),
+        lambda args: gather(*args),
+        (vols, shifts),
+    )
+
+
+def integrate_vec_batched(
+    vec: jnp.ndarray,
+    nb_steps: int = 7,
+    remat: bool = True,
+    window_halo: Optional[int] = DEFAULT_WINDOW_HALO,
+) -> jnp.ndarray:
+    """Batched scaling-and-squaring with per-step batch-level adaptive warps.
+
+    vec: (B, *S, N). Early steps (tiny displacements after the 2^-n scaling)
+    run the windowed fast path; later steps fall back to the gather — decided
+    once per step for the whole batch.
+    """
+    assert nb_steps >= 0
+    vec = vec / (2.0 ** nb_steps)
+
+    def step(v):
+        return v + transform_batched(v, v, window_halo=window_halo)
+
+    if remat:
+        step = jax.checkpoint(step)
+    for _ in range(nb_steps):
+        vec = step(vec)
+    return vec
 
 
 def batch_transform(
@@ -223,7 +296,8 @@ def compose(
                     shape=nxt.shape[:-1] if shape is None else shape,
                     shift_center=shift_center,
                 )
-            curr = curr + transform(nxt, curr, interp_method=interp_method)
+            curr = curr + transform(nxt, curr, interp_method=interp_method,
+                                    window_halo=None)
         elif not is_affine_shape(curr.shape):
             # Matrix left, dense right: fold the dense warp into the matmul.
             curr = affine_to_dense_shift(

@@ -41,9 +41,8 @@ def build_register_seg_fn(model):
     def _register(params, moving, fixed, moving_seg):
         out = model.apply({"params": params}, moving, fixed, train=False)
         warp = out["pos_flow"]
-        moved_seg = jax.vmap(
-            lambda i, w: warp_ops.transform(i, w, interp_method="nearest")
-        )(moving_seg, warp)
+        moved_seg = warp_ops.transform_batched(
+            moving_seg, warp, interp_method="nearest")
         return out["y_source"], warp, moved_seg
 
     return _register
