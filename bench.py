@@ -3,7 +3,13 @@
 
 Reproduces the reference's evaluation semantics (scripts/tf/test.py timing:
 warp prediction timed, compile excluded) on the canonical 160x192x224 volume
-with the default VxmDense (int_steps=7, int_downsize=2).
+with the default VxmDense (int_steps=7, int_downsize=2), and additionally:
+
+  * a batch-size x dtype sweep (bs in {1,2,4}, f32/bf16) — batch-size-1 is
+    the reference's default but underutilizes the TPU (SURVEY §7);
+  * full train-step throughput (fwd+bwd+Adam) at full resolution;
+  * an A/B of the scaling-and-squaring warp paths at integration resolution:
+    XLA corner-table gather vs Pallas bounded-displacement kernel.
 
 Timing note: on tunneled backends `block_until_ready` can return before
 execution completes, so each timed iteration is chained into an on-device
@@ -11,7 +17,8 @@ scalar accumulator that is fetched ONCE after the loop — the fetch cannot
 complete until every iteration has executed.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N,
+   "detail": {...}}
 """
 
 import json
@@ -25,7 +32,9 @@ import numpy as np
 
 # Measured on this image via `python bench.py --cpu-baseline` (JAX on host
 # CPU, full default VxmDense forward at 160x192x224): 0.0076 pairs/s.
-# Fixed here so vs_baseline is stable across runs.
+# Fixed here so vs_baseline is stable across runs. (The reference TF-CPU
+# stack is not runnable in this image; this JAX-CPU number stands in for it
+# and is labeled as such in `baseline` below.)
 BASELINE_CPU_PAIRS_PER_S = 0.0076
 
 INSHAPE = (160, 192, 224)
@@ -56,45 +65,151 @@ def _load_pair():
     return moving[None, ..., None], fixed[None, ..., None]
 
 
-def measure(batch_sizes=(1,), iters=8, warmup=2):
+def _timed_chain(fn, *args, iters=8, warmup=2):
+    """Time fn by chaining its scalar probe into an accumulator."""
+    import jax.numpy as jnp
+    for _ in range(warmup):
+        float(fn(*args))
+    acc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = acc + fn(*args)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_inference(batch_sizes=(1, 2, 4), dtypes=("float32", "bfloat16"),
+                      iters=8, warmup=2):
+    """Registration forward throughput sweep. Returns (best, best_cfg, detail)."""
     import jax
     import jax.numpy as jnp
     from voxelmorph_tpu.models import VxmDense
 
-    _enable_compile_cache()
     moving, fixed = _load_pair()
-    model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.asarray(moving), jnp.asarray(fixed))["params"]
+    best, best_cfg, detail = 0.0, "", {}
+    for dtype_name in dtypes:
+        dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+        model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2,
+                         dtype=dtype)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.asarray(moving), jnp.asarray(fixed))["params"]
+
+        @jax.jit
+        def reg_probe(params, mv, fx):
+            out = model.apply({"params": params}, mv, fx, train=False)
+            return (jnp.sum(out["y_source"][0, ::64, ::64, ::64])
+                    + jnp.sum(out["pos_flow"][0, ::64, ::64, ::64])).astype(jnp.float32)
+
+        for bs in batch_sizes:
+            mv = jnp.asarray(np.repeat(moving, bs, axis=0))
+            fx = jnp.asarray(np.repeat(fixed, bs, axis=0))
+            key = f"infer_bs{bs}_{dtype_name}"
+            try:
+                dt = _timed_chain(lambda m, f: reg_probe(params, m, f), mv, fx,
+                                  iters=iters, warmup=warmup)
+            except Exception as e:  # OOM at larger batch: skip
+                detail[key] = f"failed: {type(e).__name__}"
+                continue
+            pairs_per_s = bs / dt
+            detail[key] = round(pairs_per_s, 4)
+            if pairs_per_s > best:
+                best, best_cfg = pairs_per_s, key
+    return best, best_cfg, detail
+
+
+def measure_train_step(iters=5, warmup=2, dtype_name="float32"):
+    """Full train step (fwd+bwd+Adam) at 160x192x224, batch 1 — captures the
+    end-to-end training cost the reference never reports."""
+    import jax
+    import jax.numpy as jnp
+    import voxelmorph_tpu as vxm
+    from voxelmorph_tpu.models import VxmDense
+    from voxelmorph_tpu.training import LossTerm, Trainer
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    moving, fixed = _load_pair()
+    model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2, dtype=dtype)
+    terms = [
+        LossTerm("y_source", vxm.losses.MSE().loss, weight=1.0, target_index=0),
+        LossTerm("reg", vxm.losses.Grad("l2", loss_mult=2).loss, weight=0.01,
+                 target_index=1, name="grad"),
+    ]
+    trainer = Trainer(model, terms, lr=1e-4)
+    trainer.init((moving, fixed))
+    zeros = np.zeros((1, *INSHAPE, 3), np.float32)
+
+    def step():
+        m = trainer.train_step((moving, fixed), (fixed, zeros))
+        return float(m["loss"])
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    # train_step fetches metrics each call -> already synchronized
+    return (time.perf_counter() - t0) / iters
+
+
+def measure_vecint_ab(iters=10, warmup=2):
+    """A/B the integration-resolution self-warp: gather vs Pallas kernel.
+
+    Field: (1, 80, 96, 112, 3) — the int_resolution=2 SVF of the canonical
+    volume. Measures one 7-step scaling-and-squaring integration.
+    """
+    import jax
+    import jax.numpy as jnp
+    from voxelmorph_tpu.ops import warp as W
+    from voxelmorph_tpu.ops import pallas_interp
+
+    shape = tuple(s // 2 for s in INSHAPE)
+    rng = np.random.default_rng(1)
+    # realistic magnitude: up to ~12 voxels of displacement pre-integration
+    vec = jnp.asarray(
+        12.0 * rng.standard_normal((1, *shape, 3)).astype(np.float32) / 3.0)
+
+    out = {}
 
     @jax.jit
-    def reg_probe(params, mv, fx):
-        out = model.apply({"params": params}, mv, fx, train=False)
-        # tiny scalar that depends on the full registration outputs
-        return jnp.sum(out["y_source"][0, ::64, ::64, ::64]) + jnp.sum(
-            out["pos_flow"][0, ::64, ::64, ::64])
+    def integ_gather(v):
+        r = W.integrate_vec_batched(v, nb_steps=7, window_halo=None)
+        return jnp.sum(r[0, ::32, ::32, ::32]).astype(jnp.float32)
 
-    best = 0.0
-    detail = {}
-    for bs in batch_sizes:
-        mv = jnp.asarray(np.repeat(moving, bs, axis=0))
-        fx = jnp.asarray(np.repeat(fixed, bs, axis=0))
+    out["vecint_gather_ms"] = round(
+        _timed_chain(integ_gather, vec, iters=iters, warmup=warmup) * 1e3, 3)
+
+    if pallas_interp.pallas_available():
+        @jax.jit
+        def integ_pallas(v):
+            r = W.integrate_vec_batched(v, nb_steps=7, window_halo=2)
+            return jnp.sum(r[0, ::32, ::32, ::32]).astype(jnp.float32)
+
         try:
-            for _ in range(warmup):
-                float(reg_probe(params, mv, fx))  # compile + sync
-            acc = jnp.zeros(())
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                acc = acc + reg_probe(params, mv, fx)
-            float(acc)  # forces completion of the whole chain
-            dt = (time.perf_counter() - t0) / iters
-            pairs_per_s = bs / dt
-        except Exception as e:  # OOM at larger batch: skip
-            detail[f"bs{bs}"] = f"failed: {type(e).__name__}"
-            continue
-        detail[f"bs{bs}"] = round(pairs_per_s, 4)
-        best = max(best, pairs_per_s)
-    return best, detail
+            out["vecint_adaptive_pallas_ms"] = round(
+                _timed_chain(integ_pallas, vec, iters=iters, warmup=warmup) * 1e3, 3)
+        except Exception as e:
+            out["vecint_adaptive_pallas_ms"] = f"failed: {type(e).__name__}: {e}"
+
+        @jax.jit
+        def warp_pallas_once(v):
+            s = v[0] / 128.0
+            r = pallas_interp.warp_bounded(s, s, 1)
+            return jnp.sum(r[::32, ::32, ::32]).astype(jnp.float32)
+
+        @jax.jit
+        def warp_gather_once(v):
+            s = v[0] / 128.0
+            r = W.transform(s, s, window_halo=None)
+            return jnp.sum(r[::32, ::32, ::32]).astype(jnp.float32)
+
+        try:
+            out["selfwarp_pallas_ms"] = round(
+                _timed_chain(warp_pallas_once, vec, iters=iters, warmup=warmup) * 1e3, 3)
+        except Exception as e:
+            out["selfwarp_pallas_ms"] = f"failed: {type(e).__name__}: {e}"
+        out["selfwarp_gather_ms"] = round(
+            _timed_chain(warp_gather_once, vec, iters=iters, warmup=warmup) * 1e3, 3)
+    return out
 
 
 def measure_cpu_baseline():
@@ -102,7 +217,8 @@ def measure_cpu_baseline():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    best, detail = measure(batch_sizes=(1,), iters=2, warmup=1)
+    best, cfg, detail = measure_inference(batch_sizes=(1,), dtypes=("float32",),
+                                          iters=2, warmup=1)
     print("cpu baseline:", best, detail)
     return best
 
@@ -111,11 +227,26 @@ if __name__ == "__main__":
     if "--cpu-baseline" in sys.argv:
         measure_cpu_baseline()
         sys.exit(0)
-    value, detail = measure()
+    _enable_compile_cache()
+
+    value, best_cfg, detail = measure_inference()
+    detail["best_config"] = best_cfg
+    try:
+        step_s = measure_train_step()
+        detail["train_step_s_bs1_f32"] = round(step_s, 3)
+        detail["train_pairs_per_s"] = round(1.0 / step_s, 4)
+    except Exception as e:
+        detail["train_step_s_bs1_f32"] = f"failed: {type(e).__name__}"
+    try:
+        detail.update(measure_vecint_ab())
+    except Exception as e:
+        detail["vecint_ab"] = f"failed: {type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "vxm_dense_registration_throughput_160x192x224",
         "value": round(value, 4),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / BASELINE_CPU_PAIRS_PER_S, 2),
+        "baseline": "JAX-CPU same-model forward, 0.0076 pairs/s (see header)",
         "detail": detail,
     }))

@@ -15,14 +15,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument('--moving', required=True, help='moving image (source) filename')
-    parser.add_argument('--fixed', required=True, help='fixed image (target) filename')
-    parser.add_argument('--moved', required=True, help='warped image output filename')
+    parser.add_argument('--moving', required=True, help='source (moving) volume to be warped')
+    parser.add_argument('--fixed', required=True, help='target (fixed) volume to register to')
+    parser.add_argument('--moved', required=True, help='where to write the warped volume')
     parser.add_argument('--model', required=True, help='model file for nonlinear registration')
-    parser.add_argument('--warp', help='output warp deformation filename')
+    parser.add_argument('--warp', help='where to write the dense displacement field')
     parser.add_argument('-g', '--gpu', help='ignored (TPU devices are auto-detected)')
     parser.add_argument('--multichannel', action='store_true',
-                        help='specify that data has multiple channels')
+                        help='volumes already carry a trailing channel axis')
     return parser.parse_args(argv)
 
 

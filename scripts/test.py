@@ -18,15 +18,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument('--gpu', help='ignored (TPU devices are auto-detected)')
-    parser.add_argument('--model', required=True, help='VxmDense model file')
-    parser.add_argument('--pairs', required=True, help='path to list of image pairs to register')
-    parser.add_argument('--img-suffix', help='input image file suffix')
-    parser.add_argument('--seg-suffix', help='input seg file suffix')
-    parser.add_argument('--img-prefix', help='input image file prefix')
-    parser.add_argument('--seg-prefix', help='input seg file prefix')
+    parser.add_argument('--model', required=True, help='trained registration checkpoint (.npz)')
+    parser.add_argument('--pairs', required=True, help='text file listing moving/fixed pairs, one pair per line')
+    parser.add_argument('--img-suffix', help='string appended to every image path in the list')
+    parser.add_argument('--seg-suffix', help='string appended to every seg path in the list')
+    parser.add_argument('--img-prefix', help='string prepended to every image path in the list')
+    parser.add_argument('--seg-prefix', help='string prepended to every seg path in the list')
     parser.add_argument('--labels', help='optional label list to compute dice for (npy format)')
     parser.add_argument('--multichannel', action='store_true',
-                        help='specify that data has multiple channels')
+                        help='volumes already carry a trailing channel axis')
     return parser.parse_args(argv)
 
 

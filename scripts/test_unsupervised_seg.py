@@ -18,19 +18,19 @@ import numpy as np  # noqa: E402
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument('image', help='input image to test')
-    parser.add_argument('seg', help='output segmentation file')
+    parser.add_argument('image', help='volume to segment')
+    parser.add_argument('seg', help='where to write the predicted segmentation')
     parser.add_argument('--model', required=True, help='model file')
-    parser.add_argument('--atlas', required=True, help='atlas npz file')
+    parser.add_argument('--atlas', required=True, help='probabilistic atlas volume (npz)')
     parser.add_argument('--atlas-full', help='full atlas npz file (defaults to --atlas)')
     parser.add_argument('--mapping', required=True, help='atlas mapping filename (npz/npy)')
     parser.add_argument('--gpu', help='ignored (TPU auto-detected)')
     parser.add_argument('--max-feats', type=int, default=21,
                         help='max label channels warped at once')
-    parser.add_argument('--warped-atlas', help='save warped atlas to output vol file')
-    parser.add_argument('--posteriors', help='save posteriors to output vol file')
-    parser.add_argument('--warp', help='save warp to output vol file')
-    parser.add_argument('--stats', help='save stats to output npz file')
+    parser.add_argument('--warped-atlas', help='where to write the warped atlas volume')
+    parser.add_argument('--posteriors', help='where to write the label posterior volume')
+    parser.add_argument('--warp', help='where to write the dense displacement field')
+    parser.add_argument('--stats', help='where to write the estimated Gaussian stats (npz)')
     return parser.parse_args(argv)
 
 

@@ -22,48 +22,60 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser()
 
     # data organization parameters
-    parser.add_argument('--img-list', required=True, help='line-seperated list of training files')
-    parser.add_argument('--img-prefix', help='optional input image file prefix')
-    parser.add_argument('--img-suffix', help='optional input image file suffix')
-    parser.add_argument('--atlas', help='optional atlas filename')
+    parser.add_argument('--img-list', required=True, help='text file with one training volume path per line')
+    parser.add_argument('--img-prefix', help='string prepended to every image path in the list')
+    parser.add_argument('--img-suffix', help='string appended to every image path in the list')
+    parser.add_argument('--atlas', help='register every scan to this atlas instead of scan-to-scan')
     parser.add_argument('--model-dir', default='models',
-                        help='model output directory (default: models)')
+                        help='directory for checkpoints and logs (default: models)')
     parser.add_argument('--multichannel', action='store_true',
-                        help='specify that data has multiple channels')
+                        help='volumes already carry a trailing channel axis')
 
     # training parameters
     parser.add_argument('--gpu', default='0', help='ignored (TPU devices are auto-detected)')
-    parser.add_argument('--batch-size', type=int, default=1, help='batch size (default: 1)')
+    parser.add_argument('--batch-size', type=int, default=1, help='number of volume pairs per training step (default: 1)')
     parser.add_argument('--epochs', type=int, default=1500,
-                        help='number of training epochs (default: 1500)')
+                        help='total epochs to train (default: 1500)')
     parser.add_argument('--steps-per-epoch', type=int, default=100,
-                        help='steps per epoch (default: 100)')
-    parser.add_argument('--load-weights', help='optional weights file to initialize with')
+                        help='training steps per epoch (default: 100)')
+    parser.add_argument('--load-weights', help="checkpoint to start from; 'latest' resumes from model-dir")
     parser.add_argument('--initial-epoch', type=int, default=0,
-                        help='initial epoch number (default: 0)')
-    parser.add_argument('--lr', type=float, default=1e-4, help='learning rate (default: 1e-4)')
+                        help='epoch to start counting from, e.g. when resuming (default: 0)')
+    parser.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate (default: 1e-4)')
     parser.add_argument('--spatial-shard', action='store_true',
                         help='also shard the first spatial axis across the mesh space axis')
 
+    # multi-host: run one process per host of a TPU pod slice; the mesh then
+    # spans every host's chips (DP gradients psum over ICI, DCN across slices)
+    parser.add_argument('--coordinator',
+                        help='address of process 0, e.g. host0:8476 (multi-host only)')
+    parser.add_argument('--num-processes', type=int, default=1,
+                        help='total number of host processes in the job')
+    parser.add_argument('--process-id', type=int, default=0,
+                        help='index of this host process (0-based)')
+
     # network architecture parameters
     parser.add_argument('--enc', type=int, nargs='+',
-                        help='list of unet encoder filters (default: 16 32 32 32)')
+                        help='encoder feature counts for the U-Net (default: 16 32 32 32)')
     parser.add_argument('--dec', type=int, nargs='+',
-                        help='list of unet decorder filters (default: 32 32 32 32 32 16 16)')
+                        help='decoder feature counts for the U-Net (default: 32 32 32 32 32 16 16)')
     parser.add_argument('--int-steps', type=int, default=7,
-                        help='number of integration steps (default: 7)')
+                        help='scaling-and-squaring steps for the SVF (default: 7)')
     parser.add_argument('--int-downsize', type=int, default=2,
-                        help='flow downsample factor for integration (default: 2)')
-    parser.add_argument('--use-probs', action='store_true', help='enable probabilities')
-    parser.add_argument('--bidir', action='store_true', help='enable bidirectional cost function')
+                        help='integrate the flow at 1/N resolution to save memory (default: 2)')
+    parser.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
+                        help='U-Net compute dtype; bfloat16 doubles MXU throughput '
+                             '(params/losses/flow integration stay float32)')
+    parser.add_argument('--use-probs', action='store_true', help='use the probabilistic (MICCAI-2018) flow head')
+    parser.add_argument('--bidir', action='store_true', help='train with symmetric (forward + inverse) image losses')
 
     # loss hyperparameters
     parser.add_argument('--image-loss', default='mse',
-                        help='image reconstruction loss - can be mse or ncc (default: mse)')
+                        help="similarity loss, 'mse' or 'ncc' (default: mse)")
     parser.add_argument('--lambda', type=float, dest='lambda_weight', default=0.01,
                         help='weight of gradient or KL loss (default: 0.01)')
     parser.add_argument('--kl-lambda', type=float, default=10,
-                        help='prior lambda regularization for KL loss (default: 10)')
+                        help='precision of the flow prior in the KL term (default: 10)')
     parser.add_argument('--legacy-image-sigma', dest='image_sigma', type=float, default=1.0,
                         help='image noise parameter for miccai 2018 network '
                              '(recommended value is 0.02 when --use-probs is enabled)')
@@ -72,6 +84,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+
+    if args.num_processes > 1:
+        # must run before anything else touches the jax backend
+        from voxelmorph_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import VxmDense
@@ -102,6 +120,7 @@ def main(argv=None):
     enc_nf = args.enc if args.enc else [16, 32, 32, 32]
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
+    import jax.numpy as jnp
     model = VxmDense(
         inshape=tuple(inshape),
         nb_unet_features=[enc_nf, dec_nf],
@@ -111,6 +130,7 @@ def main(argv=None):
         int_resolution=args.int_downsize,
         src_feats=nfeats,
         trg_feats=nfeats,
+        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
     )
 
     # image loss

@@ -16,11 +16,11 @@ import numpy as np  # noqa: E402
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument('--moving', required=True, help='moving image (source) filename')
-    parser.add_argument('--fixed', required=True, help='fixed image (target) filename')
-    parser.add_argument('--moved', required=True, help='registered image output filename')
-    parser.add_argument('--model', help='initialize with prediction from pretrained vxm model')
-    parser.add_argument('--warp', help='output warp filename')
+    parser.add_argument('--moving', required=True, help='source (moving) volume to be warped')
+    parser.add_argument('--fixed', required=True, help='target (fixed) volume to register to')
+    parser.add_argument('--moved', required=True, help='where to write the warped (registered) volume')
+    parser.add_argument('--model', help='warm-start the flow from a trained model checkpoint')
+    parser.add_argument('--warp', help='where to write the dense displacement field')
     parser.add_argument('--multichannel', action='store_true')
     parser.add_argument('-g', '--gpu', help='ignored (TPU auto-detected)')
     parser.add_argument('--steps', type=int, default=200, help='num training steps')

@@ -18,33 +18,33 @@ import numpy as np  # noqa: E402
 def parse_args(argv=None):
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument('--label-dir', nargs='+', required=True,
-                   help='path or glob pattern pointing to input label maps')
-    p.add_argument('--model-dir', default='models', help='model output directory')
+                   help='directory/glob of integer label maps to synthesize from')
+    p.add_argument('--model-dir', default='models', help='directory for checkpoints and logs')
     p.add_argument('--sub-dir', help='optional subfolder for model saves')
 
     p.add_argument('--same-subj', action='store_true',
-                   help='generate image pairs from same label map')
-    p.add_argument('--blur-std', type=float, default=1, help='maximum blurring std. dev.')
-    p.add_argument('--gamma', type=float, default=0.25, help='std. dev. of gamma')
-    p.add_argument('--vel-std', type=float, default=0.5, help='std. dev. of SVF')
-    p.add_argument('--vel-res', type=float, nargs='+', default=[16], help='SVF scale')
-    p.add_argument('--bias-std', type=float, default=0.3, help='std. dev. of bias field')
-    p.add_argument('--bias-res', type=float, nargs='+', default=[40], help='bias scale')
-    p.add_argument('--out-shape', type=int, nargs='+', help='output shape to pad to')
+                   help='synthesize both images of a pair from one label map')
+    p.add_argument('--blur-std', type=float, default=1, help='upper bound on the random smoothing sigma')
+    p.add_argument('--gamma', type=float, default=0.25, help='standard deviation of the random contrast (gamma) jitter')
+    p.add_argument('--vel-std', type=float, default=0.5, help='standard deviation of the random velocity fields')
+    p.add_argument('--vel-res', type=float, nargs='+', default=[16], help='spatial scale(s) of the random velocity fields')
+    p.add_argument('--bias-std', type=float, default=0.3, help='standard deviation of the random bias fields')
+    p.add_argument('--bias-res', type=float, nargs='+', default=[40], help='spatial scale(s) of the random bias fields')
+    p.add_argument('--out-shape', type=int, nargs='+', help='pad synthesized volumes to this spatial shape')
     p.add_argument('--out-labels', default='fs_labels.npy', help='labels to optimize')
 
     p.add_argument('--gpu', type=str, default='0', help='ignored (TPU auto-detected)')
-    p.add_argument('--epochs', type=int, default=1500, help='training epochs')
+    p.add_argument('--epochs', type=int, default=1500, help='total epochs to train')
     p.add_argument('--steps-per-epoch', type=int, default=100, help='steps per epoch')
-    p.add_argument('--batch-size', type=int, default=1, help='batch size')
-    p.add_argument('--init-weights', help='optional weights file to initialize with')
-    p.add_argument('--save-freq', type=int, default=20, help='epochs between model saves')
-    p.add_argument('--reg-param', type=float, default=1., help='regularization weight')
-    p.add_argument('--lr', type=float, default=1e-4, help='learning rate')
-    p.add_argument('--init-epoch', type=int, default=0, help='initial epoch number')
+    p.add_argument('--batch-size', type=int, default=1, help='number of samples per training step')
+    p.add_argument('--init-weights', help="checkpoint to start from; 'latest' resumes from model-dir")
+    p.add_argument('--save-freq', type=int, default=20, help='checkpoint-writing period, in epochs')
+    p.add_argument('--reg-param', type=float, default=1., help='weight of the flow-gradient smoothness term')
+    p.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate')
+    p.add_argument('--init-epoch', type=int, default=0, help='epoch to start counting from, e.g. when resuming')
 
-    p.add_argument('--int-steps', type=int, default=5, help='number of integration steps')
-    p.add_argument('--enc', type=int, nargs='+', default=[64] * 4, help='U-Net encoder filters')
+    p.add_argument('--int-steps', type=int, default=5, help='scaling-and-squaring steps for the SVF')
+    p.add_argument('--enc', type=int, nargs='+', default=[64] * 4, help='encoder feature counts for the registration U-Net')
     p.add_argument('--dec', type=int, nargs='+', default=[64] * 6, help='U-Net decoder filters')
     return p.parse_args(argv)
 
@@ -103,10 +103,9 @@ def main(argv=None):
     trainer = Trainer(model, terms, lr=arg.lr, rng_names=('synth',))
 
     sample = next(gen)
-    if arg.init_weights:
-        trainer.load(arg.init_weights)
-    else:
-        trainer.init(tuple(sample[0]))
+    from voxelmorph_tpu.training import init_or_resume
+    arg.init_epoch = init_or_resume(trainer, arg.init_weights, arg.model_dir,
+                                    tuple(sample[0]), arg.init_epoch)
 
     def synth_inputs():
         while True:

@@ -15,17 +15,17 @@ import numpy as np  # noqa: E402
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument('--img-list', required=True, help='line-seperated list of training files')
-    parser.add_argument('--img-prefix', help='optional input image file prefix')
-    parser.add_argument('--img-suffix', help='optional input image file suffix')
-    parser.add_argument('--init-template', help='initial template image')
-    parser.add_argument('--model-dir', default='models', help='model output directory')
+    parser.add_argument('--img-list', required=True, help='text file with one training volume path per line')
+    parser.add_argument('--img-prefix', help='string prepended to every image path in the list')
+    parser.add_argument('--img-suffix', help='string appended to every image path in the list')
+    parser.add_argument('--init-template', help='volume used to seed the learnable template')
+    parser.add_argument('--model-dir', default='models', help='directory for checkpoints and logs')
     parser.add_argument('--multichannel', action='store_true')
     parser.add_argument('--gpu', default='0', help='ignored (TPU auto-detected)')
     parser.add_argument('--batch-size', type=int, default=1)
     parser.add_argument('--epochs', type=int, default=1500)
     parser.add_argument('--steps-per-epoch', type=int, default=100)
-    parser.add_argument('--load-weights', help='optional weights file to initialize with')
+    parser.add_argument('--load-weights', help="checkpoint to start from; 'latest' resumes from model-dir")
     parser.add_argument('--initial-epoch', type=int, default=0)
     parser.add_argument('--lr', type=float, default=1e-4)
     parser.add_argument('--enc', type=int, nargs='+')
@@ -89,10 +89,9 @@ def main(argv=None):
 
     trainer = Trainer(model, terms, lr=args.lr)
 
-    if args.load_weights:
-        trainer.load(args.load_weights)
-    else:
-        trainer.init(tuple(sample[0]))
+    from voxelmorph_tpu.training import init_or_resume
+    args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
+                                        tuple(sample[0]), args.initial_epoch)
 
     if args.init_template:
         template = vxm.py.utils.load_volfile(args.init_template,

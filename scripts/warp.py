@@ -10,14 +10,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument('--moving', required=True, help='moving image filename')
-    parser.add_argument('--warp', required=True, help='warp image filename')
-    parser.add_argument('--moved', required=True, help='warped image output filename')
+    parser.add_argument('--moving', required=True, help='source (moving) volume')
+    parser.add_argument('--warp', required=True, help='dense displacement field to apply')
+    parser.add_argument('--moved', required=True, help='where to write the warped volume')
     parser.add_argument('--interp', default='linear',
-                        help='interpolation method linear/nearest (default: linear)')
+                        help="resampling mode, 'linear' or 'nearest' (default: linear)")
     parser.add_argument('--gpu', help='ignored (TPU devices are auto-detected)')
     parser.add_argument('--multichannel', action='store_true',
-                        help='specify that data has multiple channels')
+                        help='volumes already carry a trailing channel axis')
     return parser.parse_args(argv)
 
 

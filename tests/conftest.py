@@ -7,6 +7,11 @@ imported by pytest before any test module imports jax.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Disable the adaptive windowed-warp default for model-level tests: compiling
+# both lax.cond branches is very slow on the CPU test host. The windowed and
+# Pallas implementations keep full coverage via their dedicated tests, which
+# pass explicit halo arguments (tests/test_windowed.py, tests/test_pallas.py).
+os.environ.setdefault("VXM_WINDOW_HALO", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -96,6 +96,64 @@ def test_spatial_sharding_compiles_and_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_mesh_for_batch_warns_when_devices_idle():
+    import warnings
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        m = mesh_lib.make_mesh_for_batch(3)  # gcd(3, 8) = 1 -> 7 chips idle
+    assert m.shape["data"] == 1
+    assert any("using 1 of 8 devices" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        mesh_lib.make_mesh_for_batch(8)  # perfect fit -> silent
+    assert not caught
+
+
+@pytest.mark.slow
+def test_spatial_sharding_matches_single_device_64():
+    """Spatial sharding at a realistic-ish 64-cube: the sharded forward pass
+    (space=4 over the first spatial axis, GSPMD halo exchange inside convs
+    and warp gathers) must match the single-device result."""
+    shape = (64, 64, 64)
+    model = VxmDense(inshape=shape, int_steps=2, nb_unet_features=[[4, 4], [4, 4]])
+    src = jnp.asarray(RNG.normal(size=(2, *shape, 1)).astype(np.float32))
+    trg = jnp.asarray(RNG.normal(size=(2, *shape, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), src, trg)["params"]
+
+    def fwd(p, a, b):
+        out = model.apply({"params": p}, a, b, train=False)
+        return out["y_source"], out["pos_flow"]
+
+    single = jax.jit(fwd)(params, src, trg)
+
+    mesh = mesh_lib.make_mesh(shape=(2, 4))
+    src_s = mesh_lib.shard_batch(mesh, src, spatial=True)
+    trg_s = mesh_lib.shard_batch(mesh, trg, spatial=True)
+    params_r = mesh_lib.replicate(mesh, params)
+    sharded = jax.jit(fwd)(params_r, src_s, trg_s)
+
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(single[1]), np.asarray(sharded[1]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bfloat16_model_trains():
+    """bf16 compute path: train steps run and losses stay finite/decreasing."""
+    model = VxmDense(inshape=SHAPE, int_steps=1, nb_unet_features=[[4], [4, 4]],
+                     dtype=jnp.bfloat16)
+    trainer = Trainer(model, _loss_terms(), lr=1e-2)
+    inputs, targets = _batch(1)
+    trainer.init(inputs)
+    first = float(trainer.train_step(inputs, targets)["loss"])
+    for _ in range(4):
+        last = float(trainer.train_step(inputs, targets)["loss"])
+    assert np.isfinite(last) and last < first
+    # params stay float32 (mixed-precision convention: bf16 compute only)
+    leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+    assert leaf.dtype == jnp.float32
+
+
 def test_inference_sharded_batch():
     """Batched inference with inputs sharded across all devices."""
     from voxelmorph_tpu.registration import build_register_fn

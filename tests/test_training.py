@@ -79,6 +79,114 @@ def test_save_resume_continues(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+def _batches(n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        src = rng.normal(size=(1, *SHAPE, 1)).astype(np.float32)
+        trg = rng.normal(size=(1, *SHAPE, 1)).astype(np.float32)
+        zeros = np.zeros((1, *SHAPE, 3), np.float32)
+        out.append(((src, trg), (trg, zeros)))
+    return out
+
+
+def test_resume_reproduces_uninterrupted(tmp_path):
+    """Interrupt/resume must be invisible: params, Adam moments, step counter
+    and the rng stream all round-trip, so the resumed run's metrics are
+    bitwise identical to an uninterrupted one (probabilistic model, so the
+    per-step sample rng is exercised too)."""
+    def make_model():
+        return VxmDense(inshape=SHAPE, int_steps=1, use_probs=True,
+                        nb_unet_features=[[4], [4, 4]])
+
+    batches = _batches(4, seed=5)
+
+    ref = Trainer(make_model(), _terms(), lr=1e-3, seed=7, needs_sample_rng=True)
+    ref.init(batches[0][0])
+    ref_metrics = [ref.train_step(*b) for b in batches]
+
+    t1 = Trainer(make_model(), _terms(), lr=1e-3, seed=7, needs_sample_rng=True)
+    t1.init(batches[0][0])
+    for b in batches[:2]:
+        t1.train_step(*b)
+    path = str(tmp_path / "mid.npz")
+    t1.save(path)
+
+    # different constructor seed: everything must come from the checkpoint
+    t2 = Trainer(make_model(), _terms(), lr=1e-3, seed=999, needs_sample_rng=True)
+    t2.load(path)
+    assert t2.global_step == 2
+    resumed = [t2.train_step(*b) for b in batches[2:]]
+
+    for m_ref, m_res in zip(ref_metrics[2:], resumed):
+        assert float(m_ref["loss"]) == float(m_res["loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(ref.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(t2.params))):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_resume_restores_stream_state(tmp_path):
+    """Mutable variable collections (MeanStream 'stream') must survive
+    save/load — resuming TemplateCreation used to crash without this."""
+    from voxelmorph_tpu.models import TemplateCreation
+
+    model = TemplateCreation(inshape=SHAPE, int_steps=0, int_resolution=1,
+                             nb_unet_features=[[4], [4, 4]])
+    terms = [
+        LossTerm("y_source", vxm.losses.MSE().loss, weight=0.5, target_index=0),
+        LossTerm("mean_stream", vxm.losses.MSE().loss, weight=1.0,
+                 target_index=1, name="mean_stream"),
+    ]
+    src = RNG.normal(size=(1, *SHAPE, 1)).astype(np.float32)
+    zeros = np.zeros((1, *SHAPE, 3), np.float32)
+
+    t = Trainer(model, terms, lr=1e-3, seed=3)
+    t.init((src,))
+    for _ in range(2):
+        t.train_step((src,), (src, zeros))
+    saved_state = jax.device_get(t.state)
+    assert float(saved_state["stream"]["mean_stream"]["count"]) == 2
+    path = str(tmp_path / "tmpl.npz")
+    t.save(path)
+
+    t2 = Trainer(model, terms, lr=1e-3, seed=3)
+    t2.load(path)
+    for a, b in zip(jax.tree_util.tree_leaves(saved_state),
+                    jax.tree_util.tree_leaves(jax.device_get(t2.state))):
+        np.testing.assert_array_equal(a, b)
+    # training continues from the restored stream count (2 + 1 = 3)
+    t2.train_step((src,), (src, zeros))
+    assert float(jax.device_get(
+        t2.state["stream"]["mean_stream"]["count"])) == 3
+
+
+def test_synthmorph_checkpoint_roundtrip(tmp_path):
+    """SynthMorphDense checkpoints are self-describing: the nested
+    LabelsToImageConfig serializes to real JSON and load_model rebuilds a
+    model whose outputs match the original."""
+    from voxelmorph_tpu.models import (LabelsToImageConfig, SynthMorphDense,
+                                       load_model, save_model)
+
+    cfg = LabelsToImageConfig(in_shape=SHAPE, in_label_list=[0, 1, 2],
+                              warp_res=[8], bias_res=[8], warp_int_steps=2)
+    model = SynthMorphDense(cfg=cfg, nb_unet_features=[[4], [4, 4]],
+                            int_steps=1)
+    maps = RNG.integers(0, 3, size=(1, *SHAPE, 1)).astype(np.int32)
+    src, trg = jax.numpy.asarray(maps), jax.numpy.asarray(maps)
+    rngs = {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)}
+    params = model.init(rngs, src, trg)["params"]
+    out = model.apply({"params": params}, src, trg, train=False)
+
+    path = str(tmp_path / "synth.npz")
+    save_model(path, model, jax.device_get(params))
+    model2, params2 = load_model(path)
+    assert isinstance(model2.cfg, LabelsToImageConfig)
+    assert model2.cfg.to_dict() == cfg.to_dict()
+    out2 = model2.apply({"params": params2}, src, trg, train=False)
+    np.testing.assert_allclose(np.asarray(out["y_source"]),
+                               np.asarray(out2["y_source"]), atol=1e-6)
+
+
 def test_metrics_csv(tmp_path):
     path = str(tmp_path / "metrics.csv")
     logger = MetricsLogger(path)

@@ -63,13 +63,20 @@ def test_mean_stream_updates():
     out, vars1 = ms.apply(vars0, x1, train=True, mutable=["stream"])
     # after first batch: mean = 0 + (2/2)*(1-0) = 1
     np.testing.assert_allclose(np.asarray(vars1["stream"]["mean"]), 1.0, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+    # output ramps in with min(1, count/cap): count=2, cap=10 -> 0.2 * mean
+    np.testing.assert_allclose(np.asarray(out), 0.2, atol=1e-6)
     # feeding zeros moves the mean down by bs/count
     out2, vars2 = ms.apply({**vars1}, jnp.zeros_like(x1), train=True, mutable=["stream"])
     np.testing.assert_allclose(np.asarray(vars2["stream"]["mean"]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2), 0.4 * 0.5, atol=1e-6)
     # eval mode doesn't update
     out3, vars3 = ms.apply(vars2, x1, train=False, mutable=["stream"])
     np.testing.assert_allclose(np.asarray(vars3["stream"]["mean"]), 0.5, atol=1e-6)
+    # once count reaches the cap the output equals the raw mean
+    full = {"stream": {"mean": vars2["stream"]["mean"],
+                       "count": jnp.asarray(10.0)}}
+    out4, _ = ms.apply(full, x1, train=False, mutable=["stream"])
+    np.testing.assert_allclose(np.asarray(out4), 0.5, atol=1e-6)
 
 
 def test_template_creation():

@@ -1,12 +1,11 @@
 """Host-side data generators feeding the training loops.
 
 Same tuple contracts as the reference (/root/reference/voxelmorph/generators.py)
-— each yields ``(inputs, outputs)`` lists of numpy arrays — so existing data
-layouts and scripts port over unchanged. These run on host CPU by design;
+— each yields ``(inputs, outputs)`` lists of numpy arrays, so existing data
+layouts and scripts port over unchanged — but the mechanics are this
+framework's own: vectorized one-hot encoding, precomputed surface-sampling
+state, and a module-level seedable RNG. Generators run on host CPU by design;
 ``voxelmorph_tpu.training.prefetch`` overlaps host loading with device steps.
-
-All randomness goes through a module-level numpy Generator that can be seeded
-via ``seed_rng`` for reproducible pipelines.
 """
 
 from __future__ import annotations
@@ -27,6 +26,20 @@ def seed_rng(seed):
     _rng = np.random.default_rng(seed)
 
 
+def _expand_names(vol_names):
+    """Normalize a directory / glob / list spec into a list of items."""
+    if isinstance(vol_names, str):
+        pattern = os.path.join(vol_names, "*") if os.path.isdir(vol_names) else vol_names
+        return glob.glob(pattern)
+    return list(vol_names)
+
+
+def _stack_load(names, picks, **load_kwargs):
+    """Load the picked entries of ``names`` and stack them on the batch axis."""
+    vols = [py.utils.load_volfile(names[i], **load_kwargs) for i in picks]
+    return np.concatenate(vols, axis=0)
+
+
 def volgen(
     vol_names,
     batch_size=1,
@@ -39,81 +52,80 @@ def volgen(
     """Base generator: random volumes (with replacement), optionally + segs.
 
     vol_names may be a directory, a glob pattern, a list of paths, or a list
-    of preloaded arrays. segs=True loads the 'seg' variable from npz files;
-    a list loads corresponding seg files.
+    of preloaded arrays. segs=True loads the 'seg' variable from the same
+    files; a list loads corresponding seg files.
     """
-    if isinstance(vol_names, str):
-        if os.path.isdir(vol_names):
-            vol_names = os.path.join(vol_names, "*")
-        vol_names = glob.glob(vol_names)
-
-    if isinstance(segs, list) and len(segs) != len(vol_names):
+    names = _expand_names(vol_names)
+    if isinstance(segs, list) and len(segs) != len(names):
         raise ValueError("Number of image files must match number of seg files.")
 
+    opts = dict(np_var=np_var, add_batch_axis=True, add_feat_axis=add_feat_axis,
+                pad_shape=pad_shape, resize_factor=resize_factor)
     while True:
-        indices = _rng.integers(len(vol_names), size=batch_size)
-
-        load_params = dict(np_var=np_var, add_batch_axis=True, add_feat_axis=add_feat_axis,
-                           pad_shape=pad_shape, resize_factor=resize_factor)
-        imgs = [py.utils.load_volfile(vol_names[i], **load_params) for i in indices]
-        vols = [np.concatenate(imgs, axis=0)]
-
+        picks = _rng.integers(len(names), size=batch_size)
+        batch = [_stack_load(names, picks, **opts)]
         if segs is True:
-            load_params["np_var"] = "seg"
-            s = [py.utils.load_volfile(vol_names[i], **load_params) for i in indices]
-            vols.append(np.concatenate(s, axis=0))
+            batch.append(_stack_load(names, picks, **{**opts, "np_var": "seg"}))
         elif isinstance(segs, list):
-            s = [py.utils.load_volfile(segs[i], **load_params) for i in indices]
-            vols.append(np.concatenate(s, axis=0))
+            batch.append(_stack_load(segs, picks, **opts))
+        yield tuple(batch)
 
-        yield tuple(vols)
+
+def _zero_flow(batch_size, spatial_shape):
+    """The zero-displacement placeholder target for regularization losses."""
+    return np.zeros((batch_size, *spatial_shape, len(spatial_shape)), "float32")
 
 
 def scan_to_scan(vol_names, bidir=False, batch_size=1, prob_same=0, no_warp=False, **kwargs):
     """Random scan pairs: inputs [src, trg], outputs [trg(, src)](, zero-warp)."""
-    zeros = None
     gen = volgen(vol_names, batch_size=batch_size, **kwargs)
+    flow = None
     while True:
-        scan1 = next(gen)[0]
-        scan2 = next(gen)[0]
+        moving = next(gen)[0]
+        fixed = next(gen)[0]
 
+        # occasionally duplicate one side so the model sees identity pairs
         if prob_same > 0 and _rng.random() < prob_same:
             if _rng.random() > 0.5:
-                scan1 = scan2
+                moving = fixed
             else:
-                scan2 = scan1
+                fixed = moving
 
-        if not no_warp and zeros is None:
-            shape = scan1.shape[1:-1]
-            zeros = np.zeros((batch_size, *shape, len(shape)), dtype="float32")
-
-        invols = [scan1, scan2]
-        outvols = [scan2, scan1] if bidir else [scan2]
+        outputs = [fixed, moving] if bidir else [fixed]
         if not no_warp:
-            outvols.append(zeros)
-
-        yield (invols, outvols)
+            if flow is None:
+                flow = _zero_flow(batch_size, moving.shape[1:-1])
+            outputs = outputs + [flow]
+        yield ([moving, fixed], outputs)
 
 
 def scan_to_atlas(vol_names, atlas, bidir=False, batch_size=1, no_warp=False,
                   segs=None, **kwargs):
     """Random scans registered to a fixed atlas."""
-    shape = atlas.shape[1:-1]
-    zeros = np.zeros((batch_size, *shape, len(shape)), dtype="float32")
+    flow = _zero_flow(batch_size, atlas.shape[1:-1])
     atlas = np.repeat(atlas, batch_size, axis=0)
     gen = volgen(vol_names, batch_size=batch_size, segs=segs, **kwargs)
     while True:
-        res = next(gen)
-        scan = res[0]
-        invols = [scan, atlas]
-        if not segs:
-            outvols = [atlas, scan] if bidir else [atlas]
-        else:
-            seg = res[1]
-            outvols = [seg, scan] if bidir else [seg]
+        loaded = next(gen)
+        scan = loaded[0]
+        first = loaded[1] if segs else atlas
+        outputs = [first, scan] if bidir else [first]
         if not no_warp:
-            outvols.append(zeros)
-        yield (invols, outvols)
+            outputs = outputs + [flow]
+        yield ([scan, atlas], outputs)
+
+
+def _one_hot_seg(seg, labels, downsize=1):
+    """Vectorized one-hot probability map of an integer seg (B, *S, 1),
+    optionally strided down — replaces the reference's per-label python loop
+    (generators.py:163-167)."""
+    labels = np.asarray(labels)
+    onehot = (seg[..., 0, None] == labels).astype("float32")
+    if downsize > 1:
+        nd = onehot.ndim - 2
+        sl = (slice(None),) + (slice(None, None, downsize),) * nd
+        onehot = onehot[sl]
+    return onehot
 
 
 def semisupervised(vol_names, seg_names, labels, atlas_file=None, downsize=2):
@@ -122,70 +134,114 @@ def semisupervised(vol_names, seg_names, labels, atlas_file=None, downsize=2):
     inputs [src, trg, src_seg], outputs [trg, zero-warp, trg_seg].
     """
     gen = volgen(vol_names, segs=seg_names, np_var="vol")
-    zeros = None
+    flow = None
 
-    def split_seg(seg):
-        prob_seg = np.zeros((*seg.shape[:4], len(labels)), dtype="float32")
-        for i, label in enumerate(labels):
-            prob_seg[0, ..., i] = seg[0, ..., 0] == label
-        return prob_seg[:, ::downsize, ::downsize, ::downsize, :]
-
+    trg_vol = trg_seg = None
     if atlas_file:
         trg_vol = py.utils.load_volfile(atlas_file, np_var="vol",
                                         add_batch_axis=True, add_feat_axis=True)
         trg_seg = py.utils.load_volfile(atlas_file, np_var="seg",
                                         add_batch_axis=True, add_feat_axis=True)
-        trg_seg = split_seg(trg_seg)
+        trg_seg = _one_hot_seg(trg_seg, labels, downsize)
 
     while True:
         src_vol, src_seg = next(gen)
-        src_seg = split_seg(src_seg)
+        src_seg = _one_hot_seg(src_seg, labels, downsize)
 
         if not atlas_file:
-            trg_vol, trg_seg = next(gen)
-            trg_seg = split_seg(trg_seg)
+            trg_vol, raw = next(gen)
+            trg_seg = _one_hot_seg(raw, labels, downsize)
 
-        if zeros is None:
-            shape = src_vol.shape[1:-1]
-            zeros = np.zeros((1, *shape, len(shape)), dtype="float32")
+        if flow is None:
+            flow = _zero_flow(1, src_vol.shape[1:-1])
 
-        invols = [src_vol, trg_vol, src_seg]
-        outvols = [trg_vol, zeros, trg_seg]
-        yield (invols, outvols)
+        yield ([src_vol, trg_vol, src_seg], [trg_vol, flow, trg_seg])
 
 
 def template_creation(vol_names, bidir=False, batch_size=1, **kwargs):
     """Unconditional template creation: inputs [scan], outputs [scan, zeros...]."""
-    zeros = None
     gen = volgen(vol_names, batch_size=batch_size, **kwargs)
+    flow = None
     while True:
         scan = next(gen)[0]
-        if zeros is None:
-            shape = scan.shape[1:-1]
-            zeros = np.zeros((1, *shape, len(shape)), dtype="float32")
-        invols = [scan]
-        outvols = [scan, zeros, zeros, zeros] if bidir else [scan, zeros, zeros]
-        yield (invols, outvols)
+        if flow is None:
+            flow = _zero_flow(1, scan.shape[1:-1])
+        nb_zero_targets = 3 if bidir else 2
+        yield ([scan], [scan] + [flow] * nb_zero_targets)
 
 
 def conditional_template_creation(vol_names, atlas, attributes, batch_size=1,
                                   np_var="vol", pad_shape=None, add_feat_axis=True):
     """Conditional template creation keyed by a phenotype attribute dict."""
-    shape = atlas.shape[1:-1]
-    zeros = np.zeros((batch_size, *shape, len(shape)), dtype="float32")
+    flow = _zero_flow(batch_size, atlas.shape[1:-1])
     atlas = np.repeat(atlas, batch_size, axis=0)
+    names = list(vol_names)
+    opts = dict(np_var=np_var, add_batch_axis=True, add_feat_axis=add_feat_axis,
+                pad_shape=pad_shape)
     while True:
-        indices = _rng.integers(len(vol_names), size=batch_size)
-        pheno = np.stack([attributes[vol_names[i]] for i in indices], axis=0)
+        picks = _rng.integers(len(names), size=batch_size)
+        pheno = np.stack([attributes[names[i]] for i in picks], axis=0)
+        scans = _stack_load(names, picks, **opts)
+        yield ([pheno, atlas, scans], [scans, flow, flow, flow])
 
-        load_params = dict(np_var=np_var, add_batch_axis=True,
-                           add_feat_axis=add_feat_axis, pad_shape=pad_shape)
-        vols = [py.utils.load_volfile(vol_names[i], **load_params) for i in indices]
-        vols = np.concatenate(vols, axis=0)
 
-        invols = [pheno, atlas, vols]
-        outvols = [vols, zeros, zeros, zeros]
-        yield (invols, outvols)
+class _SurfaceSampler:
+    """Per-label SDT + surface-point machinery for surf_semisupervised.
+
+    Precomputes each atlas label's cleaned mask, signed distance transform,
+    and share of the surface-point budget (proportional to its boundary
+    size); at call time it cleans a subject seg, computes its SDTs, and
+    samples point clouds from both sides.
+    """
+
+    def __init__(self, atlas_seg, labels, total_pts, smooth_std, upsample, resize):
+        self.labels = labels
+        self.total_pts = total_pts
+        self.smooth_std = smooth_std
+        self.upsample = upsample
+        self.resize = resize
+        self.threshold = 1.0 / upsample + 1e-5
+
+        self.atlas_sdts = []
+        boundary_sizes = []
+        for label in labels:
+            mask = py.utils.clean_seg(atlas_seg == label, smooth_std)
+            sdt = py.utils.vol_to_sdt(mask, sdt=True, sdt_vol_resize=resize)
+            self.atlas_sdts.append(sdt)
+            boundary_sizes.append(np.count_nonzero(np.abs(sdt) < 1.01))
+        self.edge_ratios = np.asarray(boundary_sizes, float) / sum(boundary_sizes)
+
+    def budget(self, label_idxs):
+        """Surface-point counts per selected label, summing to total_pts."""
+        ratios = self.edge_ratios[np.asarray(label_idxs)]
+        return py.utils.get_surface_pts_per_label(self.total_pts, ratios)
+
+    def sample_points(self, sdt, count):
+        return py.utils.sdt_to_surface_pts(
+            sdt, count, surface_pts_upsample_factor=self.upsample,
+            thr=self.threshold, rng=_rng)
+
+    def point_cloud(self, sdts, counts):
+        """Assemble an (total_pts, ndims+1) cloud: coords + the slot index of
+        the label's channel in the stacked SDT volume (what
+        value_at_location indexes when sampling distances at warped points).
+        """
+        nd = sdts[0].ndim
+        cloud = np.zeros((self.total_pts, nd + 1), "float32")
+        stops = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+        for slot, sdt in enumerate(sdts):
+            rows = slice(stops[slot], stops[slot + 1])
+            cloud[rows, :-1] = self.sample_points(sdt, counts[slot])
+            cloud[rows, -1] = slot
+        return cloud
+
+    def subject_sdts(self, seg, label_idxs):
+        """Cleaned per-label SDTs of a subject seg (*S,) for chosen labels."""
+        out = []
+        for li in label_idxs:
+            mask = py.utils.clean_seg(seg == self.labels[li], self.smooth_std)
+            out.append(py.utils.vol_to_sdt(mask, sdt=True, sdt_vol_resize=self.resize))
+        return out
 
 
 def surf_semisupervised(
@@ -205,117 +261,79 @@ def surf_semisupervised(
 ):
     """Scan-to-atlas semi-supervised learning with surface point clouds.
 
-    Precomputes per-label atlas SDTs and surface points, then per step builds
-    subject SDTs + sampled surface points (reference generators.py:256-418).
+    Same contract as the reference (generators.py:256-418): per step, yields
+    images, per-label SDT stacks, and sampled surface point clouds (atlas
+    side precomputed when every label is used each step).
     """
-    assert nb_surface_pts > 0, "number of surface point should be greater than 0"
-
-    vol_shape = atlas_seg.shape
-    sdt_shape = [int(f * sdt_vol_resize) for f in vol_shape]
+    assert nb_surface_pts > 0, "number of surface points must be positive"
+    assert batch_size == 1, "only batch size 1 supported for now"
 
     if labels is not None:
         atlas_seg = py.utils.filter_labels(atlas_seg, labels)
     else:
         labels = np.sort(np.unique(atlas_seg))[1:]
+    nb_sample = nb_labels_sample or len(labels)
+    use_all = nb_sample == len(labels)
 
-    if nb_labels_sample is None:
-        nb_labels_sample = len(labels)
+    sampler = _SurfaceSampler(atlas_seg, labels, nb_surface_pts, smooth_seg_std,
+                              surface_pts_upsample_factor, sdt_vol_resize)
 
-    atlas_vol_bs = np.repeat(atlas_vol[np.newaxis, ..., np.newaxis], batch_size, axis=0)
-    atlas_seg_bs = np.repeat(atlas_seg[np.newaxis, ..., np.newaxis], batch_size, axis=0)
+    vol_shape = atlas_seg.shape
+    sdt_shape = tuple(int(s * sdt_vol_resize) for s in vol_shape)
+    batched = lambda v: np.repeat(v[None, ..., None], batch_size, axis=0)
+    atlas_img_b = batched(atlas_vol)
+    atlas_seg_b = batched(atlas_seg)
+    flow = _zero_flow(batch_size, vol_shape)
+    zero_pt_values = np.zeros((batch_size, nb_surface_pts, 1), "float32")
 
-    std_to_surf = lambda x, y: py.utils.sdt_to_surface_pts(
-        x, y,
-        surface_pts_upsample_factor=surface_pts_upsample_factor,
-        thr=(1 / surface_pts_upsample_factor + 1e-5),
-        rng=_rng)
+    # with the full label set, the atlas-side point cloud is drawn once
+    fixed_atlas_cloud = None
+    if use_all:
+        counts = sampler.budget(range(len(labels)))
+        fixed_atlas_cloud = sampler.point_cloud(sampler.atlas_sdts, counts)
 
-    zero_flow = np.zeros((batch_size, *vol_shape, len(vol_shape)), dtype="float32")
-    zero_surface_values = np.zeros((batch_size, nb_surface_pts, 1), dtype="float32")
-
-    # precompute per-label atlas SDTs and edge ratios
-    atlas_sdt = [None] * len(labels)
-    atlas_label_vols = [None] * len(labels)
-    nb_edges = np.zeros(len(labels))
-    for li, label in enumerate(labels):
-        atlas_label_vols[li] = atlas_seg == label
-        atlas_label_vols[li] = py.utils.clean_seg(atlas_label_vols[li], smooth_seg_std)
-        atlas_sdt[li] = py.utils.vol_to_sdt(
-            atlas_label_vols[li], sdt=True, sdt_vol_resize=sdt_vol_resize)
-        nb_edges[li] = np.sum(np.abs(atlas_sdt[li]) < 1.01)
-    layer_edge_ratios = nb_edges / np.sum(nb_edges)
-
-    atlas_surface_pts = np.zeros((batch_size, nb_surface_pts, len(vol_shape) + 1),
-                                 dtype="float32")
-    if nb_labels_sample == len(labels):
-        nb_surface_pts_sel = py.utils.get_surface_pts_per_label(
-            nb_surface_pts, layer_edge_ratios)
-        for li, label in enumerate(labels):
-            pts = std_to_surf(atlas_sdt[li], nb_surface_pts_sel[li])[np.newaxis, ...]
-            srf_idx = slice(int(np.sum(nb_surface_pts_sel[:li])),
-                            int(np.sum(nb_surface_pts_sel[:li + 1])))
-            atlas_surface_pts[:, srf_idx, :-1] = np.repeat(pts, batch_size, 0)
-            atlas_surface_pts[:, srf_idx, -1] = li
-
-    gen = volgen(vol_names, segs=True, batch_size=batch_size, add_feat_axis=add_feat_axis)
-    assert batch_size == 1, "only batch size 1 supported for now"
+    gen = volgen(vol_names, segs=True, batch_size=batch_size,
+                 add_feat_axis=add_feat_axis)
 
     while True:
-        X = next(gen)
-        X_img = X[0]
-        X_seg = py.utils.filter_labels(X[1], labels)
+        img, seg = next(gen)
+        seg = py.utils.filter_labels(seg, labels)
 
-        sel_label_idxs = range(len(labels))
-        if nb_labels_sample != len(labels):
-            sel_label_idxs = np.sort(_rng.choice(
-                range(len(labels)), size=nb_labels_sample, replace=False))
-            sel_layer_edge_ratios = [layer_edge_ratios[li] for li in sel_label_idxs]
-            nb_surface_pts_sel = py.utils.get_surface_pts_per_label(
-                nb_surface_pts, sel_layer_edge_ratios)
+        if use_all:
+            label_idxs = list(range(len(labels)))
+            counts = sampler.budget(label_idxs)
+            atlas_cloud = fixed_atlas_cloud
+        else:
+            label_idxs = np.sort(_rng.choice(len(labels), size=nb_sample,
+                                             replace=False))
+            counts = sampler.budget(label_idxs)
+            atlas_cloud = sampler.point_cloud(
+                [sampler.atlas_sdts[li] for li in label_idxs], counts)
 
-        X_sdt_k = np.zeros((batch_size, *sdt_shape, nb_labels_sample), dtype="float32")
-        atl_dt_k = np.zeros((batch_size, *sdt_shape, nb_labels_sample), dtype="float32")
-        subj_surface_pts = np.zeros((batch_size, nb_surface_pts, len(vol_shape) + 1),
-                                    dtype="float32")
-        if nb_labels_sample != len(labels):
-            atlas_surface_pts = np.zeros((batch_size, nb_surface_pts, len(vol_shape) + 1),
-                                         dtype="float32")
-
-        for li, sli in enumerate(sel_label_idxs):
-            srf_idx = slice(int(np.sum(nb_surface_pts_sel[:li])),
-                            int(np.sum(nb_surface_pts_sel[:li + 1])))
-
-            if nb_labels_sample != len(labels):
-                pts = std_to_surf(atlas_sdt[sli], nb_surface_pts_sel[li])[np.newaxis, ...]
-                atlas_surface_pts[:, srf_idx, :-1] = np.repeat(pts, batch_size, 0)
-                atlas_surface_pts[:, srf_idx, -1] = sli
-
-            X_label = X_seg == labels[sli]
-            X_label = py.utils.clean_seg_batch(X_label, smooth_seg_std)
-            X_sdt_k[..., li] = py.utils.vol_to_sdt_batch(
-                X_label, sdt=True, sdt_vol_resize=sdt_vol_resize)[..., 0]
-
-            if surf_bidir:
-                atl_dt = atlas_sdt[li][np.newaxis, ...]
-                atl_dt_k[..., li] = np.repeat(atl_dt, batch_size, 0)
-                ssp_lst = [std_to_surf(f, nb_surface_pts_sel[li]) for f in X_sdt_k[..., li]]
-                subj_surface_pts[:, srf_idx, :-1] = np.stack(ssp_lst, 0)
-                subj_surface_pts[:, srf_idx, -1] = li
-
-        X_ret = X_img
-        atlas_ret = atlas_vol_bs
+        subj_sdts = sampler.subject_sdts(seg[0, ..., 0], label_idxs)
+        subj_sdt_stack = np.stack(subj_sdts, axis=-1)[None].astype("float32")
+        assert subj_sdt_stack.shape == (batch_size, *sdt_shape, nb_sample)
 
         if align_segs:
-            assert len(labels) == 1, "align_seg generator is only implemented for single label"
-            X_ret = X_seg == labels[0]
-            atlas_ret = atlas_seg_bs == labels[0]
-
-        if surf_bidir:
-            inputs = [X_ret, atlas_ret, X_sdt_k, atl_dt_k, subj_surface_pts, atlas_surface_pts]
-            outputs = [atlas_ret, X_ret, zero_flow, zero_surface_values, zero_surface_values]
+            assert len(labels) == 1, "align_segs supports a single label only"
+            moving = (seg == labels[0]).astype(img.dtype)
+            fixed = (atlas_seg_b == labels[0]).astype(img.dtype)
         else:
-            inputs = [X_ret, atlas_ret, X_sdt_k, atlas_surface_pts]
-            outputs = [atlas_ret, X_ret, zero_flow, zero_surface_values]
+            moving, fixed = img, atlas_img_b
+
+        atlas_cloud_b = np.repeat(atlas_cloud[None], batch_size, axis=0)
+        if surf_bidir:
+            atlas_sdt_stack = np.stack(
+                [sampler.atlas_sdts[li] for li in label_idxs], axis=-1
+            )[None].astype("float32")
+            subj_cloud = sampler.point_cloud(subj_sdts, counts)
+            subj_cloud_b = np.repeat(subj_cloud[None], batch_size, axis=0)
+            inputs = [moving, fixed, subj_sdt_stack, atlas_sdt_stack,
+                      subj_cloud_b, atlas_cloud_b]
+            outputs = [fixed, moving, flow, zero_pt_values, zero_pt_values]
+        else:
+            inputs = [moving, fixed, subj_sdt_stack, atlas_cloud_b]
+            outputs = [fixed, moving, flow, zero_pt_values]
 
         yield (inputs, outputs)
 
@@ -326,22 +344,19 @@ def synthmorph(label_maps, batch_size=1, same_subj=False, flip=True):
     Yields [src, trg] int label maps; outputs are void placeholders since
     SynthMorph losses are built from on-device synthesized tensors.
     """
-    in_shape = label_maps[0].shape
-    num_dim = len(in_shape)
-    void = np.zeros((batch_size, *in_shape, num_dim), dtype="float32")
+    spatial = label_maps[0].shape
+    nd = len(spatial)
+    void = np.zeros((batch_size, *spatial, nd), "float32")
 
     while True:
-        ind = _rng.integers(len(label_maps), size=2 * batch_size)
-        x = [label_maps[i] for i in ind]
+        picks = _rng.integers(len(label_maps), size=2 * batch_size)
         if same_subj:
-            x = x[:batch_size] * 2
-        x = np.stack(x)[..., None]
+            picks[batch_size:] = picks[:batch_size]
+        pair = np.stack([label_maps[i] for i in picks])[..., None]
 
         if flip:
-            axes = _rng.choice(num_dim, size=_rng.integers(num_dim + 1),
-                               replace=False, shuffle=False)
-            x = np.flip(x, axis=tuple(axes + 1))
+            nb_axes = _rng.integers(nd + 1)
+            axes = _rng.choice(nd, size=nb_axes, replace=False, shuffle=False)
+            pair = np.flip(pair, axis=tuple(axes + 1))
 
-        src = x[:batch_size, ...]
-        trg = x[batch_size:, ...]
-        yield [src, trg], [void] * 2
+        yield [pair[:batch_size], pair[batch_size:]], [void] * 2

@@ -6,12 +6,14 @@ from .atlas import (ConditionalTemplateCreation, MeanStream,
 from .hyper import HyperVxmDense
 from .synthmorph import (HyperVxmJoint, LabelsToImageConfig, SynthMorphDense,
                          VxmAffineFeatureDetector, labels_to_image)
-from .modelio import load_model, register_model, save_model
+from .modelio import (load_model, register_config, register_model, save_model)
 from .unet import Unet
 from .vxm import (InstanceDense, Transform, VxmDense,
                   VxmDenseSemiSupervisedPointCloud, VxmDenseSemiSupervisedSeg)
 
 for _cls in (VxmDense, VxmDenseSemiSupervisedSeg, VxmDenseSemiSupervisedPointCloud,
              InstanceDense, Unet, TemplateCreation, ConditionalTemplateCreation,
-             ProbAtlasSegmentation, HyperVxmDense, VxmAffineFeatureDetector, HyperVxmJoint):
+             ProbAtlasSegmentation, HyperVxmDense, VxmAffineFeatureDetector,
+             HyperVxmJoint, SynthMorphDense):
     register_model(_cls)
+register_config(LabelsToImageConfig)

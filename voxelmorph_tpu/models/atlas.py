@@ -49,7 +49,11 @@ class MeanStream(nn.Module):
                 jnp.mean(x, axis=0) - mean.value)
             mean.value = new_mean
             count.value = new_count
-        return jnp.broadcast_to(mean.value[None], x.shape)
+        # Scale the output by min(1, count/cap) so the mean-flow penalty ramps
+        # in over the first `cap` samples instead of applying at full strength
+        # from step one (matching ne.layers.MeanStream's output scaling).
+        scale = jnp.minimum(1.0, count.value / self.cap)
+        return jnp.broadcast_to((scale * mean.value)[None], x.shape)
 
 
 class TemplateCreation(nn.Module):

@@ -79,6 +79,29 @@ class LabelsToImageConfig:
         self.nb_in_labels = len(in_label_list)
         self.nb_out_labels = len(self.out_label_list)
 
+    def to_dict(self):
+        """JSON-safe constructor kwargs (checkpoint round-trip)."""
+        return {
+            "in_shape": list(self.in_shape),
+            "in_label_list": [int(v) for v in self.in_label_list],
+            "out_label_list": [int(v) for v in self.out_label_list],
+            "out_shape": list(self.out_shape),
+            "warp_std": float(self.warp_std),
+            "warp_res": [float(v) for v in self.warp_res],
+            "blur_std": float(self.blur_std),
+            "bias_std": float(self.bias_std),
+            "bias_res": [float(v) for v in self.bias_res],
+            "gamma_std": float(self.gamma_std),
+            "mean_range": [float(v) for v in self.mean_range],
+            "std_range": [float(v) for v in self.std_range],
+            "warp_int_steps": int(self.warp_int_steps),
+            "zero_background": float(self.zero_background),
+        }
+
+    @classmethod
+    def from_dict(cls, data):
+        return cls(**data)
+
 
 def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
     """Synthesize a (image, one_hot_map) pair from an integer label map.

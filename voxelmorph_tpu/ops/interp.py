@@ -3,10 +3,16 @@
 This module owns the *warp gather*: sampling an N-D volume at continuous
 locations. It is the hot kernel of the whole framework — the reference
 delegates it to ``ne.utils.interpn`` (cited: /root/reference/voxelmorph/tf/
-utils/utils.py:174) which lowers to per-voxel ``tf.gather`` calls. Here it is
-a pure-jnp function built from flattened 1-D gathers that XLA lowers to a
-single fused dynamic-gather per corner on TPU; a Pallas kernel with the same
-signature can be swapped in via ``voxelmorph_tpu.ops.pallas_interp``.
+utils/utils.py:174) which lowers to per-voxel ``tf.gather`` calls. Two
+implementations exist here:
+
+  * this file's pure-jnp corner-table formulation: ONE row-gather per voxel
+    from a table holding all 2^N cell corners (general: any displacement
+    magnitude, any N);
+  * ``voxelmorph_tpu.ops.pallas_interp.warp_bounded``: a Pallas TPU kernel
+    for the bounded-displacement dense warp (|shift| <= halo), the case that
+    dominates scaling-and-squaring integration — single HBM pass, no corner
+    table. ``ops.warp.transform`` dispatches between them at runtime.
 
 Conventions (matching the reference exactly):
   * ij (matrix) indexing everywhere; xy indexing does not exist.

@@ -1,0 +1,249 @@
+"""Pallas TPU kernel for the bounded-displacement dense warp.
+
+This module owns the hot gather of the framework (the reference delegates it
+to ne.utils.interpn, /root/reference/voxelmorph/tf/utils/utils.py:174): the
+trilinear self-warp inside scaling-and-squaring integration and any dense
+warp whose displacements are bounded by a small halo ``h``.
+
+Why a kernel, and why this shape
+--------------------------------
+A general 3-D grid-sample is 8 random gathers per voxel. The XLA path in
+``ops.interp.interpn`` turns that into ONE row-gather from a corner table,
+but the table is 2^N x the volume in HBM and every gather transaction is
+random. For |shift| <= h, however, the warp is exactly
+
+    out[x] = sum_{o in [-h, h+1]^3}  prod_d max(0, 1 - |d_eff_d(x) - o_d|)
+             * vol[x + o]
+
+a sum of (2h+2)^3 *contiguous shifted slices* — every HBM access is
+sequential. The XLA formulation of this sum (ops.warp.windowed_transform)
+re-reads the volume per term; this kernel instead streams each padded input
+slab into VMEM ONCE and accumulates all (2h+2)^3 terms on the VPU, so HBM
+traffic is ~(read vol + read shift + write out) regardless of h, and the
+backward pass is the same single-pass structure (no scatters).
+
+The kernel processes the volume in z-slabs: grid = (num_slabs,); each step
+sees an overlapping (TZ + 2p, H + 2p, W + 2p) window of the edge-padded
+input (p = h + 1) and writes a (TZ, H, W) output block. Channels are looped
+inside the kernel (C is small: 1 for images, 3 for SVF fields).
+
+Edge semantics match ops.interp.interpn: sampling coordinates are clamped to
+[0, dim-1] (the pre-pad is edge-replicated so clamped taps read edge values).
+
+Used via ops.warp.transform/transform_batched, which dispatch here on TPU
+when the windowed fast path is eligible; falls back to the XLA formulation
+on CPU (Pallas TPU kernels don't run on the host platform).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["warp_bounded", "pallas_available"]
+
+# Run kernels through the Pallas interpreter (for CPU testing of the kernel
+# logic itself; the TPU compiled path is exercised on hardware).
+_INTERPRET = os.environ.get("VXM_PALLAS_INTERPRET", "0") == "1"
+
+
+def pallas_available() -> bool:
+    """True when the TPU Pallas backend can run (not on CPU/interpreter)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pick_tz(d: int, h: int, hw_bytes: int, nch: int, budget=4 * 1024 * 1024):
+    """Choose the z-slab size: as large as fits the VMEM budget and divides
+    reasonably; the grid covers D with ceil-division and a masked tail.
+    The budget accounts for the input window plus the handful of live
+    (tz, H, W) temporaries inside the accumulation loop."""
+    pad = 2 * (h + 1)
+    for tz in (16, 8, 4, 2, 1):
+        if tz > d:
+            continue
+        win_bytes = (tz + pad) * hw_bytes * nch  # input window
+        tmp_bytes = tz * hw_bytes * (8 + 2 * h)  # d-fields, weights, taps, acc
+        if win_bytes + tmp_bytes <= budget:
+            return tz
+    return 1
+
+
+def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
+    """One z-slab: accumulate the (2h+2)^3 shifted-slice terms in VMEM.
+
+    vol_ref: (C, TZ+2p, H+2p, W+2p) edge-padded input window
+    s*_ref:  (TZ, H, W) per-axis displacement components
+    out_ref: (C, TZ, H, W)
+
+    The (oz, oy) offset pairs run in a fori_loop (dynamic-start slices on the
+    sublane dims) so VMEM holds O(1) temporaries instead of an unrolled
+    (2h+2)^3 expression; the x offsets stay unrolled because lane-dim slices
+    want static starts.
+    """
+    import jax.experimental.pallas as pl
+
+    D, H, W = spatial
+    p = h + 1
+    n_off = 2 * h + 2
+    i = pl.program_id(0)
+
+    # effective per-axis displacement after clamping to the volume border;
+    # |d_eff| <= h everywhere given the caller's |shift| <= h guard
+    fiota = lambda d: jax.lax.broadcasted_iota(
+        jnp.int32, (tz, H, W), d).astype(jnp.float32)
+    z_base = (i * tz).astype(jnp.float32) + fiota(0)
+    dz = jnp.clip(z_base + sz_ref[...], 0.0, D - 1.0) - z_base
+    y_base = fiota(1)
+    dy = jnp.clip(y_base + sy_ref[...], 0.0, H - 1.0) - y_base
+    x_base = fiota(2)
+    dx = jnp.clip(x_base + sx_ref[...], 0.0, W - 1.0) - x_base
+
+    tri = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+
+    for c in range(nch):
+        def body(k, acc):
+            oz = k // n_off - h
+            oy = k % n_off - h
+            wzy = tri(dz, oz.astype(jnp.float32)) * tri(dy, oy.astype(jnp.float32))
+            for ox in range(-h, h + 2):
+                w = wzy * tri(dx, float(ox))
+                tap = vol_ref[c, pl.ds(p + oz, tz), pl.ds(p + oy, H),
+                              pl.ds(p + ox, W)]
+                acc = acc + w * tap
+            return acc
+
+        out_ref[c] = jax.lax.fori_loop(
+            0, n_off * n_off, body, jnp.zeros((tz, H, W), jnp.float32))
+
+
+def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
+    """vol_cf: (C, D, H, W) float32; s*: (D, H, W). Returns (C, D, H, W)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nch, D, H, W = vol_cf.shape
+    p = h + 1
+    tz = _pick_tz(D, h, (H + 2 * p) * (W + 2 * p) * 4, nch)
+    grid = (D + tz - 1) // tz
+    d_pad = grid * tz  # pad D so every slab is full-size
+
+    pads = [(0, 0), (p, p + (d_pad - D)), (p, p), (p, p)]
+    vol_p = jnp.pad(vol_cf, pads, mode="edge")
+    spads = [(0, d_pad - D), (0, 0), (0, 0)]
+    sz_p = jnp.pad(sz, spads)
+    sy_p = jnp.pad(sy, spads)
+    sx_p = jnp.pad(sx, spads)
+
+    kernel = functools.partial(_warp_kernel, h, tz, (D, H, W), nch)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            # overlapping input windows: element-offset indexing (pl.Element)
+            # so consecutive slabs share their z halo (Mosaic requires all
+            # dims to be Element when any is)
+            pl.BlockSpec((pl.Element(nch), pl.Element(tz + 2 * p),
+                          pl.Element(H + 2 * p), pl.Element(W + 2 * p)),
+                         lambda i: (0, i * tz, 0, 0)),
+            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch, d_pad, H, W), jnp.float32),
+        interpret=_INTERPRET,
+    )(vol_p, sz_p, sy_p, sx_p)
+    return out[:, :D]
+
+
+# ---------------------------------------------------------------- custom VJP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _warp_bounded_cf(vol_cf, shift, h):
+    """Channels-first bounded warp. shift: (D, H, W, 3)."""
+    return _warp_fwd_impl(vol_cf, shift[..., 0], shift[..., 1], shift[..., 2], h)
+
+
+def _warp_cf_fwd(vol_cf, shift, h):
+    out = _warp_bounded_cf(vol_cf, shift, h)
+    return out, (vol_cf, shift)
+
+
+def _warp_cf_bwd(h, res, g):
+    """Backward via the same shifted-slice identity, in plain jnp (XLA fuses
+    this into pads/slices — no scatters):
+
+      d vol[u]    = sum_o w_o(u - o) g(u - o)        (flipped-offset gather)
+      d shift_d(x) = g(x) . sum_o (dw_o/dd_d)(x) vol[x + o]   (if not clamped)
+    """
+    vol_cf, shift = res
+    nch, D, H, W = vol_cf.shape
+    spatial = (D, H, W)
+    p = h + 1
+
+    grid = jnp.stack(jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32)
+                                    for s in spatial], indexing="ij"), -1)
+    maxc = jnp.asarray([s - 1.0 for s in spatial])
+    coords = jnp.clip(grid + shift, 0.0, maxc)
+    d_eff = coords - grid
+    interior = ((grid + shift) > 0.0) & ((grid + shift) < maxc)  # (*S, 3)
+
+    pads3 = [(p, p)] * 3
+    vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
+
+    tri = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+    # derivative of the triangle kernel (sign convention: d/dd)
+    dtri = lambda d, o: jnp.where(jnp.abs(d - o) < 1.0, -jnp.sign(d - o), 0.0)
+
+    dvol = jnp.zeros_like(vol_cf)
+    dshift = jnp.zeros_like(shift)
+    sl = lambda arr, off: arr[tuple(
+        [slice(None)] + [slice(p + o, p + o + s) for o, s in zip(off, spatial)])]
+
+    for off in itertools.product(range(-h, h + 2), repeat=3):
+        wz0 = tri(d_eff[..., 0], off[0])
+        wy0 = tri(d_eff[..., 1], off[1])
+        wx0 = tri(d_eff[..., 2], off[2])
+        w = wz0 * wy0 * wx0
+
+        # dvol[y] = sum_o (w_o * g)(y - o): zero-pad the weighted cotangent
+        # and read it at the flipped offset (taps that land in the edge-pad
+        # carry zero weight by construction, so nothing leaks).
+        wg_p = jnp.pad(w[None] * g, [(0, 0)] + pads3)
+        dvol = dvol + sl(wg_p, tuple(-o for o in off))
+
+        tap = sl(vol_p, off)  # (C, *S)
+        gv = jnp.sum(g * tap, axis=0)  # (*S)
+        dshift = dshift + jnp.stack([
+            gv * dtri(d_eff[..., 0], off[0]) * wy0 * wx0,
+            gv * wz0 * dtri(d_eff[..., 1], off[1]) * wx0,
+            gv * wz0 * wy0 * dtri(d_eff[..., 2], off[2]),
+        ], -1)
+
+    dshift = jnp.where(interior, dshift, 0.0)
+    return dvol, dshift
+
+
+_warp_bounded_cf.defvjp(_warp_cf_fwd, _warp_cf_bwd)
+
+
+def warp_bounded(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Dense trilinear warp, valid when |loc_shift| <= halo element-wise.
+
+    Drop-in for ops.warp.windowed_transform on TPU: vol (*S, C),
+    loc_shift (*S, 3) -> (*S, C), edge-clamped sampling. Differentiable in
+    both arguments (custom VJP).
+    """
+    assert loc_shift.shape[-1] == 3, "pallas warp kernel is 3-D only"
+    vol_cf = jnp.moveaxis(vol, -1, 0).astype(jnp.float32)
+    out_cf = _warp_bounded_cf(vol_cf, loc_shift.astype(jnp.float32), int(halo))
+    return jnp.moveaxis(out_cf, 0, -1).astype(vol.dtype)

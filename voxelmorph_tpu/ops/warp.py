@@ -21,11 +21,23 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-# Default halo for the adaptive windowed warp fast path. Compiling both cond
-# branches costs compile time, so CPU test runs may disable it via
-# VXM_WINDOW_HALO=0 (the dedicated windowed tests exercise it explicitly).
-_env_halo = os.environ.get("VXM_WINDOW_HALO", "1")
-DEFAULT_WINDOW_HALO: Optional[int] = int(_env_halo) if int(_env_halo or 0) > 0 else None
+# Default halo for the adaptive windowed warp fast path, resolved lazily at
+# trace time: ON (halo=1, Pallas kernel) on TPU where the bounded warp is a
+# single-HBM-pass win, OFF on CPU where compiling both lax.cond branches
+# costs minutes for no runtime benefit. Override with VXM_WINDOW_HALO=<n>
+# (0 disables everywhere).
+_env_halo = os.environ.get("VXM_WINDOW_HALO")
+DEFAULT_WINDOW_HALO = "auto"  # sentinel: resolved by _resolve_halo per trace
+
+
+def _resolve_halo(window_halo) -> Optional[int]:
+    if window_halo != "auto":
+        return window_halo
+    if _env_halo is not None:
+        v = int(_env_halo)
+        return v if v > 0 else None
+    import jax as _jax
+    return 1 if _jax.default_backend() == "tpu" else None
 
 from .affine import affine_to_dense_shift, is_affine_shape, make_square_affine
 from .interp import interpn, ndgrid, resize
@@ -87,6 +99,17 @@ def windowed_transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> j
     return out
 
 
+def _windowed_impl(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Bounded-displacement warp: the Pallas TPU kernel when available
+    (single pass over HBM), else the XLA shifted-slice formulation."""
+    if (loc_shift.shape[-1] == 3
+            and os.environ.get("VXM_PALLAS", "1") != "0"):
+        from . import pallas_interp
+        if pallas_interp.pallas_available():
+            return pallas_interp.warp_bounded(vol, loc_shift, halo)
+    return windowed_transform(vol, loc_shift, halo)
+
+
 def transform(
     vol: jnp.ndarray,
     loc_shift: jnp.ndarray,
@@ -143,7 +166,7 @@ def transform(
         # the lookup; a channel-vmap is equivalent and avoids a (D+1)-D gather.
         out = jax.vmap(
             lambda v, s: transform(v[..., None], s, interp_method=interp_method,
-                                   fill_value=fill_value)[..., 0],
+                                   fill_value=fill_value, window_halo=None)[..., 0],
             in_axes=(-1, -2),
             out_axes=-1,
         )(vol, loc_shift)
@@ -165,6 +188,7 @@ def transform(
     # executes BOTH branches (select semantics). Batched callers should use
     # `transform_batched` / `integrate_vec_batched`, which hoist one cond
     # above the whole batch.
+    window_halo = _resolve_halo(window_halo)
     use_window = (
         window_halo is not None
         and interp_method == "linear"
@@ -175,7 +199,7 @@ def transform(
         max_d = jnp.max(jnp.abs(loc_shift))
         out = jax.lax.cond(
             max_d <= float(window_halo),
-            lambda args: windowed_transform(args[0], args[1], window_halo),
+            lambda args: _windowed_impl(args[0], args[1], window_halo),
             gather_path,
             (vol, loc_shift),
         )
@@ -200,6 +224,7 @@ def transform_batched(
     gather = jax.vmap(lambda v, s: transform(
         v, s, interp_method=interp_method, fill_value=fill_value,
         window_halo=None))
+    window_halo = _resolve_halo(window_halo)
     use_window = (
         window_halo is not None
         and interp_method == "linear"
@@ -209,7 +234,7 @@ def transform_batched(
     )
     if not use_window:
         return gather(vols, shifts)
-    windowed = jax.vmap(lambda v, s: windowed_transform(v, s, window_halo))
+    windowed = jax.vmap(lambda v, s: _windowed_impl(v, s, window_halo))
     return jax.lax.cond(
         jnp.max(jnp.abs(shifts)) <= float(window_halo),
         lambda args: windowed(*args),
@@ -255,10 +280,14 @@ def batch_transform(
     with vmap over the batch (the reference reshapes batch into channels;
     tf/utils/utils.py:177-250).
     """
+    # window_halo=None: these transforms run under vmap, where a lax.cond
+    # would execute both branches (see module comment at `transform`).
     if loc_shift.ndim == vol.ndim:
-        fn = lambda v, s: transform(v, s, interp_method=interp_method, fill_value=fill_value)
+        fn = lambda v, s: transform(v, s, interp_method=interp_method,
+                                    fill_value=fill_value, window_halo=None)
     elif loc_shift.ndim == vol.ndim + 1:
-        fn = lambda v, s: transform(v, s, interp_method=interp_method, fill_value=fill_value)
+        fn = lambda v, s: transform(v, s, interp_method=interp_method,
+                                    fill_value=fill_value, window_halo=None)
     else:
         raise ValueError(
             f"loc_shift rank {loc_shift.ndim} incompatible with vol rank {vol.ndim}"
@@ -354,6 +383,12 @@ def integrate_vec(
       remat: rematerialize each step in the backward pass, trading recompute
         for not keeping every intermediate field in HBM.
     """
+    # This single-sample function is routinely wrapped in jax.vmap (VecInt's
+    # non-ss path, labels_to_image, batch_transform); a vmapped lax.cond runs
+    # BOTH branches (select semantics), so the adaptive windowed fast path is
+    # explicitly disabled here. Batched callers that want it should use
+    # integrate_vec_batched, which hoists one cond above the whole batch.
+    _t = lambda a, b: transform(a, b, window_halo=None)
     if method in ("ss", "scaling_and_squaring"):
         assert nb_steps >= 0, f"nb_steps should be >= 0, found: {nb_steps}"
         if time_dep:
@@ -361,13 +396,13 @@ def integrate_vec(
                 "time_dep ss needs a leading time axis of length 2**nb_steps"
             svec = vec / (2.0 ** nb_steps)
             for _ in range(nb_steps):
-                pair = lambda a, b: b + transform(a, b)
+                pair = lambda a, b: b + _t(a, b)
                 if remat:
                     pair = jax.checkpoint(pair)
                 svec = jax.vmap(pair)(svec[1::2], svec[0::2])
             return svec[0]
         vec = vec / (2.0 ** nb_steps)
-        step = lambda v: v + transform(v, v)
+        step = lambda v: v + _t(v, v)
         if remat:
             step = jax.checkpoint(step)
         for _ in range(nb_steps):
@@ -379,10 +414,10 @@ def integrate_vec(
         if time_dep:
             disp = vec[0]
             for si in range(nb_steps - 1):
-                disp = disp + transform(vec[si + 1], disp)
+                disp = disp + _t(vec[si + 1], disp)
             return disp
         disp = vec
-        step = lambda d: d + transform(vec, d)
+        step = lambda d: d + _t(vec, d)
         if remat:
             step = jax.checkpoint(step)
         for _ in range(nb_steps - 1):
@@ -392,7 +427,7 @@ def integrate_vec(
         assert not time_dep, "ode not implemented for time-dependent fields"
         assert nb_steps >= 1, f"nb_steps should be >= 1, found: {nb_steps}"
         h = out_time_pt / nb_steps
-        f = lambda d: transform(vec, d)
+        f = lambda d: _t(vec, d)
 
         def rk4_step(d):
             k1 = f(d)

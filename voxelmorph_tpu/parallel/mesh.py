@@ -31,7 +31,14 @@ __all__ = ["make_mesh", "make_mesh_for_batch", "batch_sharding", "replicated",
 
 def initialize_distributed(coordinator: Optional[str] = None, num_processes: int = 1,
                            process_id: int = 0):
-    """Initialize multi-host JAX if running with >1 process."""
+    """Initialize multi-host JAX if running with >1 process.
+
+    Call before any other jax API touches the backend. After this,
+    ``jax.devices()`` spans every host in the job, so the same mesh-building
+    code scales from one chip to a multi-host pod slice: gradient psums ride
+    ICI within a slice and DCN across slices automatically. The CLI trainers
+    expose this via --coordinator/--num-processes/--process-id.
+    """
     if num_processes > 1:
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
@@ -69,6 +76,16 @@ def make_mesh_for_batch(batch_size: int, spatial_size: Optional[int] = None,
     if spatial_size is not None and rest > 1 and spatial_size % rest == 0:
         space = rest
     used = devices[: data * space]
+    if len(used) < n:
+        import warnings
+        warnings.warn(
+            f"make_mesh_for_batch: using {len(used)} of {n} devices "
+            f"(batch_size={batch_size} gives {data}-way data parallelism"
+            + ("" if spatial_size is None else
+               f", spatial_size={spatial_size} not divisible by {rest}")
+            + "). Increase the batch size to a multiple of the device count, "
+            "or pass spatial_size (--spatial-shard) to use the idle devices "
+            "for spatial sharding.", stacklevel=2)
     return make_mesh(shape=(data, space), devices=used)
 
 

@@ -77,12 +77,30 @@ def read_nifti(filename: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         data = data * slope + scl_inter
 
     affine = None
+    pixdim = struct.unpack_from(endian + "8f", hdr, 76)
     if sform_code > 0:
         affine = np.eye(4)
         affine[:3] = np.asarray(srow).reshape(3, 4)
-    elif qform_code == 0:
+    elif qform_code > 0:
+        # quaternion-encoded qform (common output of tools that never set the
+        # sform): a = sqrt(1 - b^2 - c^2 - d^2), voxel sizes from pixdim,
+        # qfac = pixdim[0] flips the third column's handedness.
+        b, c, d = struct.unpack_from(endian + "3f", hdr, 256)
+        qoffset = struct.unpack_from(endian + "3f", hdr, 268)
+        a_sq = max(0.0, 1.0 - (b * b + c * c + d * d))
+        a = np.sqrt(a_sq)
+        R = np.array([
+            [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+            [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+            [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+        ])
+        qfac = -1.0 if pixdim[0] < 0 else 1.0
+        zooms = np.array([pixdim[1], pixdim[2], qfac * pixdim[3]])
+        affine = np.eye(4)
+        affine[:3, :3] = R * zooms
+        affine[:3, 3] = qoffset
+    else:
         # fall back to pixdim scaling
-        pixdim = struct.unpack_from(endian + "8f", hdr, 76)
         affine = np.diag([*pixdim[1:4], 1.0])
     return np.asarray(data), affine
 

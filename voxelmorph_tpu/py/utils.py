@@ -40,26 +40,21 @@ def get_backend():
     return "jax"
 
 
+def _decorate(name, prefix, suffix):
+    return (prefix or "") + name + (suffix or "")
+
+
 def read_file_list(filename, prefix=None, suffix=None):
-    """Read a line-separated list of files, with optional prefix/suffix."""
-    with open(filename, "r") as f:
-        content = f.readlines()
-    filelist = [x.strip() for x in content if x.strip()]
-    if prefix is not None:
-        filelist = [prefix + f for f in filelist]
-    if suffix is not None:
-        filelist = [f + suffix for f in filelist]
-    return filelist
+    """Read a newline-separated list of files, with optional prefix/suffix."""
+    with open(filename) as f:
+        entries = (line.strip() for line in f)
+        return [_decorate(e, prefix, suffix) for e in entries if e]
 
 
 def read_pair_list(filename, delim=None, prefix=None, suffix=None):
-    """Read a line-separated list of registration file pairs."""
-    pairlist = [f.split(delim) for f in read_file_list(filename)]
-    if prefix is not None:
-        pairlist = [[prefix + f for f in pair] for pair in pairlist]
-    if suffix is not None:
-        pairlist = [[f + suffix for f in pair] for pair in pairlist]
-    return pairlist
+    """Read a list of registration file pairs (one delimited pair per line)."""
+    return [[_decorate(name, prefix, suffix) for name in line.split(delim)]
+            for line in read_file_list(filename)]
 
 
 def load_volfile(
@@ -104,17 +99,13 @@ def load_volfile(
         raise ValueError(f"unknown filetype for {filename}")
 
     if pad_shape:
-        vol, _ = pad(vol, pad_shape)
-
+        vol = pad(vol, pad_shape)[0]
     if add_feat_axis:
-        vol = vol[..., np.newaxis]
-
+        vol = vol[..., None]
     if resize_factor != 1:
         vol = resize(vol, resize_factor)
-
     if add_batch_axis:
-        vol = vol[np.newaxis, ...]
-
+        vol = vol[None]
     return (vol, affine) if ret_affine else vol
 
 
@@ -144,96 +135,95 @@ def save_volfile(array, filename, affine=None):
 
 def load_labels(arg, ext=(".nii.gz", ".nii", ".mgz", ".npy", ".npz")):
     """Load integer label maps; returns (unique labels, list of maps)."""
-    if not isinstance(arg, (tuple, list)):
-        arg = [arg]
-    files = [os.path.join(f, "*") if os.path.isdir(f) else f for f in map(str, arg)]
-    files = sum((glob.glob(f) for f in files), [])
-    files = [f for f in files if f.endswith(ext)]
-    if len(files) == 0:
+    specs = [arg] if isinstance(arg, (str, os.PathLike)) else list(arg)
+    patterns = [os.path.join(s, "*") if os.path.isdir(s) else str(s)
+                for s in map(str, specs)]
+    files = [f for pat in patterns for f in glob.glob(pat) if f.endswith(ext)]
+    if not files:
         raise ValueError(f'no labels found for argument "{files}"')
 
     label_maps = []
     shape = None
     for f in files:
-        x = np.squeeze(load_volfile(f))
-        if shape is None:
-            shape = np.shape(x)
-        if not np.issubdtype(x.dtype, np.integer):
+        lab = np.squeeze(load_volfile(f))
+        shape = shape or np.shape(lab)
+        if not np.issubdtype(lab.dtype, np.integer):
             raise ValueError(f'file "{f}" has non-integral data type')
-        if not np.all(x.shape == shape):
-            raise ValueError(f'shape {x.shape} of file "{f}" is not {shape}')
-        label_maps.append(x)
+        if tuple(lab.shape) != tuple(shape):
+            raise ValueError(f'shape {lab.shape} of file "{f}" is not {shape}')
+        label_maps.append(lab)
 
     return np.unique(label_maps), label_maps
 
 
 def load_pheno_csv(filename, training_files=None):
-    """Load a filename->attribute-vector csv; see reference py/utils.py:202-232."""
-    pheno = {}
-    with open(filename) as csv_file:
-        reader = csv.reader(csv_file, delimiter=",")
-        next(reader)  # header
-        for row in reader:
-            pheno[row[0]] = np.array([float(f) for f in row[1:]])
+    """Load a filename -> attribute-vector mapping from a headered csv
+    (same contract as reference py/utils.py:202-232)."""
+    with open(filename) as fh:
+        rows = list(csv.reader(fh))[1:]  # skip header
+    pheno = {name: np.asarray(vals, float) for name, *vals in rows if name}
 
     if training_files is None:
-        training_files = list(pheno.keys())
-    else:
-        training_files = [f for f in training_files if os.path.basename(f) in pheno.keys()]
-        for f in training_files:
-            pheno[f] = pheno[os.path.basename(f)]
-
-    return pheno, training_files
+        return pheno, sorted(pheno)
+    keep = [path for path in training_files if os.path.basename(path) in pheno]
+    pheno.update({path: pheno[os.path.basename(path)] for path in keep})
+    return pheno, keep
 
 
 def pad(array, shape):
     """Zero-pad to a shape (centered). Returns (padded, crop slices)."""
     if array.shape == tuple(shape):
         return array, ...
+    lo = [(want - have) // 2 for want, have in zip(shape, array.shape)]
+    window = tuple(slice(o, o + have) for o, have in zip(lo, array.shape))
     padded = np.zeros(shape, dtype=array.dtype)
-    offsets = [int((p - v) / 2) for p, v in zip(shape, array.shape)]
-    slices = tuple(slice(offset, l + offset) for offset, l in zip(offsets, array.shape))
-    padded[slices] = array
-    return padded, slices
+    padded[window] = array
+    return padded, window
 
 
 def resize(array, factor, batch_axis=False):
-    """Nearest-neighbor resize by a factor; last axis is features."""
+    """Nearest-neighbor resize by a factor; last axis is features (and the
+    first is left alone when batch_axis)."""
     if factor == 1:
         return array
-    if not batch_axis:
-        dim_factors = [factor for _ in array.shape[:-1]] + [1]
-    else:
-        dim_factors = [1] + [factor for _ in array.shape[1:-1]] + [1]
-    return _ndi.zoom(array, dim_factors, order=0)
+    spatial = array.ndim - 1 - int(batch_axis)
+    factors = [1] * int(batch_axis) + [factor] * spatial + [1]
+    return _ndi.zoom(array, factors, order=0)
 
 
 def dice(array1, array2, labels=None, include_zero=False):
-    """Hard-label Dice overlap per label (reference py/utils.py:265-287)."""
+    """Hard-label Dice overlap per label (semantics of reference
+    py/utils.py:265-287): 2|A∩B| / (|A|+|B|), zero-safe."""
     if labels is None:
-        labels = np.concatenate([np.unique(a) for a in [array1, array2]])
-        labels = np.sort(np.unique(labels))
+        labels = np.union1d(np.unique(array1), np.unique(array2))
+    labels = np.asarray(labels)
     if not include_zero:
-        labels = np.delete(labels, np.argwhere(labels == 0))
+        labels = labels[labels != 0]
 
-    dicem = np.zeros(len(labels))
-    for idx, label in enumerate(labels):
-        top = 2 * np.sum(np.logical_and(array1 == label, array2 == label))
-        bottom = np.sum(array1 == label) + np.sum(array2 == label)
-        bottom = np.maximum(bottom, np.finfo(float).eps)
-        dicem[idx] = top / bottom
-    return dicem
+    scores = np.zeros(len(labels))
+    for i, lab in enumerate(labels):
+        in_a = array1 == lab
+        in_b = array2 == lab
+        denom = np.count_nonzero(in_a) + np.count_nonzero(in_b)
+        scores[i] = 2.0 * np.count_nonzero(in_a & in_b) / max(
+            denom, np.finfo(float).eps)
+    return scores
 
 
 def affine_shift_to_matrix(trf, resize=None, unshift_shape=None):
     """Flat 3-D affine shift params -> 4x4 matrix over identity."""
-    matrix = np.concatenate([trf.reshape((3, 4)), np.zeros((1, 4))], 0) + np.eye(4)
+    matrix = np.eye(4)
+    matrix[:3] += np.reshape(trf, (3, 4))
     if resize is not None:
         matrix[:3, -1] *= resize
     if unshift_shape is not None:
-        T = np.zeros((4, 4))
-        T[:3, 3] = (np.array(unshift_shape) - 1) / 2
-        matrix = (np.eye(4) + T) @ matrix @ (np.eye(4) - T)
+        # conjugate by the center-shift so the affine acts about the volume center
+        center = (np.asarray(unshift_shape) - 1) / 2
+        to_center = np.eye(4)
+        to_center[:3, 3] = center
+        from_center = np.eye(4)
+        from_center[:3, 3] = -center
+        matrix = to_center @ matrix @ from_center
     return matrix
 
 
@@ -247,124 +237,114 @@ def extract_largest_vol(bw, connectivity=1):
 
 
 def clean_seg(x, std=1):
-    """Clean a binary segmentation: largest island, fill holes, smooth."""
-    bw = extract_largest_vol(x)
-    bw = 1 - extract_largest_vol(1 - bw)
-    gadt = _ndi.gaussian_filter(bw.astype("float"), std)
+    """Clean a binary segmentation: largest island, fill holes, smooth.
 
-    sgadt = np.sort(gadt.flatten())[::-1]
-    thr = sgadt[np.ceil(bw.sum()).astype(int)]
-    clean_bw = gadt > thr
+    Hole filling = complement of the background's largest component; the
+    smoothed mask is re-thresholded at the value that preserves (about) the
+    original foreground size.
+    """
+    island = extract_largest_vol(x)
+    filled = np.logical_not(extract_largest_vol(np.logical_not(island)))
+    smooth = _ndi.gaussian_filter(filled.astype(float), std)
 
-    assert np.isclose(bw.sum(), clean_bw.sum(), atol=5), "cleaning segmentation failed"
-    return clean_bw.astype(float)
+    # pick the threshold whose superlevel set has ~the original voxel count
+    # (kth largest smoothed value, k = foreground size)
+    size = int(np.ceil(filled.sum()))
+    thr = np.partition(smooth.ravel(), -(size + 1))[-(size + 1)]
+    mask = smooth > thr
+
+    assert abs(int(filled.sum()) - int(mask.sum())) <= 5, \
+        "cleaning segmentation failed"
+    return mask.astype(float)
 
 
 def clean_seg_batch(X_label, std=1):
     """clean_seg over a batch shaped [B, *vol_shape, 1]."""
-    if not X_label.dtype == "float":
-        X_label = X_label.astype("float")
-    data = np.zeros(X_label.shape)
-    for xi, x in enumerate(X_label):
-        data[xi, ..., 0] = clean_seg(x[..., 0], std)
-    return data
+    cleaned = (clean_seg(item[..., 0].astype(float), std) for item in X_label)
+    return np.stack(list(cleaned), 0)[..., None]
 
 
 def filter_labels(atlas_vol, labels):
     """Zero out all voxels not in the given label set."""
-    mask = np.zeros(atlas_vol.shape, "bool")
-    for label in labels:
-        mask = np.logical_or(mask, atlas_vol == label)
-    return atlas_vol * mask
+    return np.where(np.isin(atlas_vol, labels), atlas_vol, 0)
 
 
 def dist_trf(bwvol):
     """Distance transform from positive entries (distance outside the island)."""
-    revbwvol = np.logical_not(bwvol)
-    return _ndi.distance_transform_edt(revbwvol)
+    return _ndi.distance_transform_edt(np.logical_not(bwvol))
 
 
 def signed_dist_trf(bwvol):
     """Signed distance from the island surface: positive outside, negative inside."""
-    posdst = dist_trf(bwvol)
-    notbwvol = np.logical_not(bwvol)
-    negdst = dist_trf(notbwvol)
-    return posdst * notbwvol - negdst * bwvol
+    inside = np.asarray(bwvol, bool)
+    return np.where(inside, -dist_trf(~inside), dist_trf(inside))
 
 
 def vol_to_sdt(X_label, sdt=True, sdt_vol_resize=1):
     """Signed distance transform of a binary volume, optionally resized."""
-    X_dt = signed_dist_trf(X_label)
-    if not (sdt_vol_resize == 1):
-        if not isinstance(sdt_vol_resize, (list, tuple)):
-            sdt_vol_resize = [sdt_vol_resize] * X_dt.ndim
-        if any(f != 1 for f in sdt_vol_resize):
-            X_dt = _ndi.zoom(X_dt, sdt_vol_resize, order=1)
-    if not sdt:
-        X_dt = np.abs(X_dt)
-    return X_dt
+    dt = signed_dist_trf(X_label)
+    factors = (sdt_vol_resize if isinstance(sdt_vol_resize, (list, tuple))
+               else [sdt_vol_resize] * dt.ndim)
+    if any(f != 1 for f in factors):
+        dt = _ndi.zoom(dt, factors, order=1)
+    return dt if sdt else np.abs(dt)
 
 
 def vol_to_sdt_batch(X_label, sdt=True, sdt_vol_resize=1):
     """vol_to_sdt over a batch shaped [B, *vol_shape, 1]."""
-    assert X_label.shape[-1] == 1, "implemented assuming size is [batch_size, *vol_shape, 1]"
-    X_lst = [f[..., 0] for f in X_label]
-    X_dt_lst = [vol_to_sdt(f, sdt=sdt, sdt_vol_resize=sdt_vol_resize) for f in X_lst]
-    return np.stack(X_dt_lst, 0)[..., np.newaxis]
+    assert X_label.shape[-1] == 1, "expects [batch_size, *vol_shape, 1]"
+    per_item = (vol_to_sdt(item[..., 0], sdt=sdt, sdt_vol_resize=sdt_vol_resize)
+                for item in X_label)
+    return np.stack(list(per_item), 0)[..., None]
 
 
 def get_surface_pts_per_label(total_nb_surface_pts, layer_edge_ratios):
-    """Distribute a surface-point budget across labels by edge ratio."""
-    nb_surface_pts_sel = np.round(
-        np.array(layer_edge_ratios) * total_nb_surface_pts).astype("int")
-    nb_surface_pts_sel[-1] = total_nb_surface_pts - int(np.sum(nb_surface_pts_sel[:-1]))
-    return nb_surface_pts_sel
+    """Distribute a surface-point budget across labels by edge ratio (the
+    last label absorbs rounding so counts sum exactly to the budget)."""
+    counts = np.rint(np.asarray(layer_edge_ratios) * total_nb_surface_pts).astype(int)
+    counts[-1] = total_nb_surface_pts - counts[:-1].sum()
+    return counts
 
 
 def edge_to_surface_pts(X_edges, nb_surface_pts=None, rng=None):
     """Sample (with replacement) surface point coordinates from an edge mask."""
-    surface_pts = np.stack(np.where(X_edges), 0).transpose()
-    if nb_surface_pts is not None:
-        rng = np.random.default_rng() if rng is None else rng
-        chi = rng.choice(surface_pts.shape[0], size=nb_surface_pts)
-        surface_pts = surface_pts[chi, :]
-    return surface_pts
+    coords = np.argwhere(X_edges)
+    if nb_surface_pts is None:
+        return coords
+    rng = rng or np.random.default_rng()
+    return coords[rng.choice(len(coords), size=nb_surface_pts)]
 
 
 def sdt_to_surface_pts(X_sdt, nb_surface_pts, surface_pts_upsample_factor=2,
                        thr=0.50001, resize_fn=None, rng=None):
-    """Sample surface points from an SDT by upsampling + thresholding."""
-    us = [surface_pts_upsample_factor] * X_sdt.ndim
+    """Sample surface points from an SDT: upsample, take the near-zero band,
+    draw points there, and map them back to the original index space."""
     if resize_fn is None:
-        resized_vol = _ndi.zoom(X_sdt, us, order=1)
+        fine = _ndi.zoom(X_sdt, [surface_pts_upsample_factor] * X_sdt.ndim, order=1)
     else:
-        resized_vol = resize_fn(X_sdt)
-        pred_shape = np.array(X_sdt.shape) * surface_pts_upsample_factor
-        assert np.array_equal(pred_shape, resized_vol.shape), "resizing failed"
+        fine = resize_fn(X_sdt)
+        want = tuple(np.asarray(X_sdt.shape) * surface_pts_upsample_factor)
+        assert tuple(fine.shape) == want, "resizing failed"
 
-    X_edges = np.abs(resized_vol) < thr
-    sf_pts = edge_to_surface_pts(X_edges, nb_surface_pts=nb_surface_pts, rng=rng)
-
-    # rescale to original index space (accounting for interpolation endpoints)
-    pt = [sf_pts[..., f] * (X_sdt.shape[f] - 1) / (X_edges.shape[f] - 1)
-          for f in range(X_sdt.ndim)]
-    return np.stack(pt, -1)
+    pts = edge_to_surface_pts(np.abs(fine) < thr, nb_surface_pts=nb_surface_pts,
+                              rng=rng)
+    # endpoint-aligned rescale from the fine grid to the original one
+    scale = (np.asarray(X_sdt.shape) - 1) / (np.asarray(fine.shape) - 1)
+    return pts * scale
 
 
 def jacobian_determinant(disp):
-    """Jacobian determinant of a displacement field [*vol_shape, N] (numpy)."""
+    """Jacobian determinant of a displacement field [*vol_shape, N] (numpy).
+
+    Central differences of phi = id + disp, with the full per-voxel Jacobian
+    assembled as J[..., i, j] = d(phi_i)/d(x_j) and reduced by np.linalg.det
+    (same convention as the jnp version in ops/warp.py).
+    """
     volshape = disp.shape[:-1]
-    nb_dims = len(volshape)
-    assert nb_dims in (2, 3), "flow has to be 2D or 3D"
+    nd = len(volshape)
+    assert nd in (2, 3), "flow has to be 2D or 3D"
 
-    grid = np.stack(np.meshgrid(*[np.arange(s) for s in volshape], indexing="ij"), nb_dims)
-    J = np.gradient(disp + grid)
-
-    if nb_dims == 3:
-        dx, dy, dz = J[0], J[1], J[2]
-        Jdet0 = dx[..., 0] * (dy[..., 1] * dz[..., 2] - dy[..., 2] * dz[..., 1])
-        Jdet1 = dx[..., 1] * (dy[..., 0] * dz[..., 2] - dy[..., 2] * dz[..., 0])
-        Jdet2 = dx[..., 2] * (dy[..., 0] * dz[..., 1] - dy[..., 1] * dz[..., 0])
-        return Jdet0 - Jdet1 + Jdet2
-    dfdx, dfdy = J[0], J[1]
-    return dfdx[..., 0] * dfdy[..., 1] - dfdy[..., 0] * dfdx[..., 1]
+    grid = np.stack(np.meshgrid(*map(np.arange, volshape), indexing="ij"), axis=-1)
+    phi = grid + disp
+    J = np.stack(np.gradient(phi, axis=tuple(range(nd))), axis=-1)
+    return np.linalg.det(J)

@@ -24,7 +24,8 @@ import optax
 from .models import modelio
 from .parallel import mesh as mesh_lib
 
-__all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch"]
+__all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch",
+           "find_latest_checkpoint", "init_or_resume"]
 
 
 class LossTerm:
@@ -293,9 +294,65 @@ class Trainer:
         return last_metrics
 
     def save(self, path: str):
-        params_host = jax.device_get(self.params)
-        modelio.save_model(path, self.model, params_host)
+        """Write a complete training checkpoint.
+
+        Beyond params (what the reference's weights-only `.h5` holds), this
+        persists the optimizer state, mutable variable collections (e.g.
+        MeanStream's 'stream'), the global step, and the base PRNG key —
+        everything needed for a preempted run to resume with metrics
+        identical to an uninterrupted one.
+        """
+        extra = {}
+        if self.state:
+            extra["state"] = jax.device_get(self.state)
+        if self.opt_state is not None:
+            leaves = jax.tree_util.tree_leaves(jax.device_get(self.opt_state))
+            extra["opt"] = {f"{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
+        extra["train"] = {
+            "step": np.asarray(self.global_step, np.int64),
+            "base_rng": np.asarray(jax.device_get(self.base_rng)),
+        }
+        modelio.save_model(path, self.model, jax.device_get(self.params),
+                           extra_trees=extra)
 
     def load(self, path: str):
-        _, params = modelio.load_model(path)
-        return self.init(None, params=params)
+        """Restore params — and, when present, optimizer state, variable
+        collections, step counter and RNG — from a checkpoint."""
+        _, params, extra = modelio.load_model(path, with_extra=True)
+        self.init(None, params=params)
+        if "state" in extra:
+            self.state = mesh_lib.replicate(self.mesh, extra["state"])
+        if "opt" in extra:
+            leaves = [extra["opt"][k] for k in sorted(extra["opt"])]
+            treedef = jax.tree_util.tree_structure(self.opt_state)
+            restored = jax.tree_util.tree_unflatten(treedef, leaves)
+            self.opt_state = mesh_lib.replicate(self.mesh, restored)
+        if "train" in extra:
+            self.global_step = int(extra["train"]["step"])
+            self.base_rng = jnp.asarray(extra["train"]["base_rng"])
+        return self.params
+
+
+def init_or_resume(trainer: "Trainer", load_weights: Optional[str],
+                   model_dir: str, sample_inputs, initial_epoch: int = 0,
+                   log_fn: Callable[[str], None] = print) -> int:
+    """Shared trainer-initialization policy for every CLI script.
+
+    ``--load-weights latest`` is the preemption-recovery path: resume from
+    the newest numbered checkpoint in ``model_dir`` (full train state), and
+    return the epoch to continue from. A concrete path loads that file; no
+    flag initializes fresh from ``sample_inputs``.
+    """
+    if load_weights == "latest":
+        path, epoch = find_latest_checkpoint(model_dir)
+        if path:
+            log_fn(f"resuming from {path} (epoch {epoch})")
+            trainer.load(path)
+            return max(initial_epoch, epoch)
+        trainer.init(sample_inputs)
+        return initial_epoch
+    if load_weights:
+        trainer.load(load_weights)
+        return initial_epoch
+    trainer.init(sample_inputs)
+    return initial_epoch
