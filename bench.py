@@ -218,6 +218,24 @@ def measure_vecint_ab(iters=10, warmup=2):
             out["selfwarp_pallas_ms"] = f"failed: {type(e).__name__}: {e}"
         out["selfwarp_gather_ms"] = round(
             _timed_chain(warp_gather_once, vec, iters=iters, warmup=warmup) * 1e3, 3)
+
+        # roofline estimates for the measured self-warp (halo=1, 3 channels):
+        # pallas traffic = read vol+shift once, write once; flops = (2h+2)^3
+        # weighted taps per voxel per channel. The gather path additionally
+        # builds the 2^3-wide corner table (8x read + 8x write of the volume).
+        voxels = float(np.prod(shape))
+        nch = 3.0
+        if isinstance(out.get("selfwarp_pallas_ms"), float):
+            t = out["selfwarp_pallas_ms"] / 1e3
+            flops = voxels * nch * (4 ** 3) * 3 + voxels * 3 * 4  # taps + d_eff
+            traffic = voxels * 4 * (nch * 2 + 3)  # vol in+out, 3 shift fields
+            out["selfwarp_pallas_gflops"] = round(flops / t / 1e9, 1)
+            out["selfwarp_pallas_gbps"] = round(traffic / t / 1e9, 1)
+        if isinstance(out.get("selfwarp_gather_ms"), float):
+            t = out["selfwarp_gather_ms"] / 1e3
+            # corner table: write 8x vol, then gather-read 8-wide rows + out
+            traffic = voxels * 4 * nch * (1 + 8 + 8 + 8 + 1)
+            out["selfwarp_gather_gbps_est"] = round(traffic / t / 1e9, 1)
     return out
 
 

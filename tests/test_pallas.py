@@ -71,6 +71,21 @@ def test_pallas_warp_gradients_match():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_pallas_bwd_kernel_matches_reference():
+    """The Pallas backward kernel must match the jnp reference VJP for both
+    halos, including clamped border voxels (zero shift gradient there)."""
+    for halo, scale in ((1, 0.95), (2, 1.9)):
+        vol, shift = _case(shape=(7, 9, 10), nch=2, scale=scale)
+        vol_cf = jnp.moveaxis(vol, -1, 0)
+        g = jnp.asarray(RNG.normal(size=vol_cf.shape).astype(np.float32))
+        dvol, dshift = pallas_interp._bwd_impl_pallas(vol_cf, shift, g, halo)
+        dvol_r, dshift_r = pallas_interp._warp_cf_bwd_ref(halo, (vol_cf, shift), g)
+        np.testing.assert_allclose(np.asarray(dvol), np.asarray(dvol_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dshift), np.asarray(dshift_r),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_warp_vmap():
     vols = jnp.asarray(RNG.normal(size=(2, 6, 6, 6, 1)).astype(np.float32))
     shifts = jnp.asarray(

@@ -168,6 +168,167 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
     return out[:, :D]
 
 
+# ------------------------------------------------------------ backward kernel
+
+def _bwd_kernel(h, tz, spatial, nch, d0,
+                vol_ref, g_ref, sz_ref, sy_ref, sx_ref,
+                dvol_ref, dsz_ref, dsy_ref, dsx_ref):
+    """One z-slab of the warp VJP.
+
+    All inputs are (…, tz+2p, H+2p, W+2p) element-offset windows over arrays
+    padded by p (vol edge-padded; g and the shift fields zero-padded).
+
+      d vol[u]     = sum_o w_o(u - o) g(u - o)
+      d shift_a(x) = [not clamped]_a(x) * sum_o (dw_o/dd_a)(x) vol[x + o] . g(x)
+
+    The dvol terms slice every input at the FLIPPED offset and recompute the
+    weights there (slab-sized temporaries only); the dshift terms use the
+    slab-centered fields. z offsets run in a fori_loop (dynamic start on the
+    untiled dim), y/x offsets are static unrolled.
+    """
+    import jax.experimental.pallas as pl
+
+    D, H, W = spatial
+    p = h + 1
+    n_off = 2 * h + 2
+    i = pl.program_id(0)
+
+    iota = lambda d: jax.lax.broadcasted_iota(jnp.int32, (tz, H, W), d)
+    z0i = i * tz + iota(0)  # global z of each slab voxel (int)
+    z0 = z0i.astype(jnp.float32)
+    y0 = iota(1).astype(jnp.float32)
+    x0 = iota(2).astype(jnp.float32)
+
+    ctr = lambda ref: ref[pl.ds(p, tz), p:p + H, p:p + W]
+    sz0, sy0, sx0 = ctr(sz_ref), ctr(sy_ref), ctr(sx_ref)
+    dz0 = jnp.clip(z0 + sz0, 0.0, D - 1.0) - z0
+    dy0 = jnp.clip(y0 + sy0, 0.0, H - 1.0) - y0
+    dx0 = jnp.clip(x0 + sx0, 0.0, W - 1.0) - x0
+    # clamp interior masks (zero gradient through a saturated clip)
+    in_z = ((z0 + sz0) > 0.0) & ((z0 + sz0) < D - 1.0)
+    in_y = ((y0 + sy0) > 0.0) & ((y0 + sy0) < H - 1.0)
+    in_x = ((x0 + sx0) > 0.0) & ((x0 + sx0) < W - 1.0)
+    g0 = [g_ref[c, pl.ds(p, tz), p:p + H, p:p + W] for c in range(nch)]
+
+    tri = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+    dtri = lambda d, o: jnp.where(jnp.abs(d - o) < 1.0, -jnp.sign(d - o), 0.0)
+    zeros = lambda: jnp.zeros((tz, H, W), jnp.float32)
+
+    def body(k, carry):
+        dvol, dsz, dsy, dsx = carry
+        oz = k - h
+        ozf = oz.astype(jnp.float32)
+        # --- dvol: read everything at the flipped offset (y - o) ---
+        zs = pl.ds(p - oz, tz)
+        zq = z0 - ozf  # global z of the source position y - o
+        for oy in range(-h, h + 2):
+            for ox in range(-h, h + 2):
+                ysl = slice(p - oy, p - oy + H)
+                xsl = slice(p - ox, p - ox + W)
+                yq = y0 - float(oy)
+                xq = x0 - float(ox)
+                valid = ((zq >= 0.0) & (zq <= D - 1.0) & (yq >= 0.0)
+                         & (yq <= H - 1.0) & (xq >= 0.0) & (xq <= W - 1.0))
+                szq = sz_ref[zs, ysl, xsl]
+                syq = sy_ref[zs, ysl, xsl]
+                sxq = sx_ref[zs, ysl, xsl]
+                dzq = jnp.clip(zq + szq, 0.0, D - 1.0) - zq
+                dyq = jnp.clip(yq + syq, 0.0, H - 1.0) - yq
+                dxq = jnp.clip(xq + sxq, 0.0, W - 1.0) - xq
+                w = jnp.where(valid,
+                              tri(dzq, ozf) * tri(dyq, float(oy))
+                              * tri(dxq, float(ox)), 0.0)
+                dvol = [dv + w * g_ref[c, zs, ysl, xsl]
+                        for c, dv in enumerate(dvol)]
+
+        # --- dshift: same-position weights, taps at + offset ---
+        zs2 = pl.ds(p + oz, tz)
+        wz, dwz = tri(dz0, ozf), dtri(dz0, ozf)
+        for oy in range(-h, h + 2):
+            wy, dwy = tri(dy0, float(oy)), dtri(dy0, float(oy))
+            for ox in range(-h, h + 2):
+                wx, dwx = tri(dx0, float(ox)), dtri(dx0, float(ox))
+                ysl = slice(p + oy, p + oy + H)
+                xsl = slice(p + ox, p + ox + W)
+                gv = zeros()
+                for c in range(nch):
+                    gv = gv + g0[c] * vol_ref[c, zs2, ysl, xsl]
+                dsz = dsz + gv * dwz * wy * wx
+                dsy = dsy + gv * wz * dwy * wx
+                dsx = dsx + gv * wz * wy * dwx
+        return dvol, dsz, dsy, dsx
+
+    dvol, dsz, dsy, dsx = jax.lax.fori_loop(
+        0, n_off, body, ([zeros() for _ in range(nch)], zeros(), zeros(), zeros()))
+    for c in range(nch):
+        dvol_ref[c] = dvol[c]
+    dsz_ref[...] = jnp.where(in_z, dsz, 0.0)
+    dsy_ref[...] = jnp.where(in_y, dsy, 0.0)
+    dsx_ref[...] = jnp.where(in_x, dsx, 0.0)
+
+
+def _bwd_impl_pallas(vol_cf, shift, g, h: int):
+    import jax.experimental.pallas as pl
+
+    nch, D, H, W = vol_cf.shape
+    p = h + 1
+    n_off = 2 * h + 2
+    hw = (H + 2 * p) * (W + 2 * p) * 4
+    # window arrays: vol + g (nch each) + 3 shift fields; slab temps — Mosaic
+    # keeps roughly the full inner-unroll live set on its stack, so budget
+    # conservatively (measured: the 16M scoped-vmem limit binds well before
+    # the analytic estimate)
+    budget = 6 * 1024 * 1024
+    tz = 1
+    for cand in (16, 8, 4, 2, 1):
+        if cand > D:
+            continue
+        win = (cand + 2 * p) * hw * (2 * nch + 3)
+        tmp = cand * hw * (n_off * n_off + 2 * nch + 10)
+        if win + tmp <= budget:
+            tz = cand
+            break
+    grid = (D + tz - 1) // tz
+    d_pad = grid * tz
+
+    pads3 = [(p, p + (d_pad - D)), (p, p), (p, p)]
+    vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
+    g_p = jnp.pad(g, [(0, 0)] + pads3)
+    sz_p = jnp.pad(shift[..., 0], pads3)
+    sy_p = jnp.pad(shift[..., 1], pads3)
+    sx_p = jnp.pad(shift[..., 2], pads3)
+
+    win_z = tz + 2 * p
+    vol_spec = pl.BlockSpec(
+        (pl.Element(nch), pl.Element(win_z), pl.Element(H + 2 * p),
+         pl.Element(W + 2 * p)), lambda i: (0, i * tz, 0, 0))
+    s_spec = pl.BlockSpec(
+        (pl.Element(win_z), pl.Element(H + 2 * p), pl.Element(W + 2 * p)),
+        lambda i: (i * tz, 0, 0))
+
+    kernel = functools.partial(_bwd_kernel, h, tz, (D, H, W), nch, 0)
+    dvol, dsz, dsy, dsx = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[vol_spec, vol_spec, s_spec, s_spec, s_spec],
+        out_specs=[
+            pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nch, d_pad, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, H, W), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(vol_p, g_p, sz_p, sy_p, sx_p)
+    dshift = jnp.stack([dsz[:D], dsy[:D], dsx[:D]], axis=-1)
+    return dvol[:, :D], dshift
+
+
 # ---------------------------------------------------------------- custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -182,8 +343,23 @@ def _warp_cf_fwd(vol_cf, shift, h):
 
 
 def _warp_cf_bwd(h, res, g):
-    """Backward via the same shifted-slice identity, in plain jnp (XLA fuses
-    this into pads/slices — no scatters):
+    """Production backward: the XLA shifted-slice formulation.
+
+    A hand-written Pallas backward exists (_bwd_impl_pallas, bit-exact) but
+    measured 25x SLOWER than this XLA version on v5e (632ms vs 25ms at
+    80x96x112x3, halo 1): its per-term unaligned window reloads cost more
+    than XLA's fused pad/slice loops. Kept opt-in for future tuning via
+    VXM_PALLAS_BWD=1.
+    """
+    vol_cf, shift = res
+    if os.environ.get("VXM_PALLAS_BWD", "0") == "1":
+        return _bwd_impl_pallas(vol_cf, shift, g, h)
+    return _warp_cf_bwd_ref(h, res, g)
+
+
+def _warp_cf_bwd_ref(h, res, g):
+    """Backward in plain jnp — the same shifted-slice identity, fused by XLA
+    into scatter-free pad/slice loops:
 
       d vol[u]    = sum_o w_o(u - o) g(u - o)        (flipped-offset gather)
       d shift_d(x) = g(x) . sum_o (dw_o/dd_d)(x) vol[x + o]   (if not clamped)
