@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Run the canonical BASELINE evaluation and write QUALITY_r{N}.json.
+
+Protocol (BASELINE.md / reference scripts/tf/test.py:109-121 semantics):
+for each held-out pair, predict the warp (timed, first call excluded),
+transport the moving segmentation with nearest-neighbor interpolation in the
+same fused jitted call, and compute hard-label Dice over the 30 labels of
+/root/reference/data/labels.npz. Pairs come from the deterministic labeled
+population built by scripts/make_eval_dataset.py (the reference's atlas
+blobs are absent from this checkout, so pairs are synthesized variants of
+its one labeled scan — see that script's docstring).
+
+Also reports the unregistered (identity-warp) Dice of the same pairs as the
+floor the model must beat.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True, help="trained checkpoint (.npz)")
+    p.add_argument("--pairs", default="data_gen/test_pairs.txt")
+    p.add_argument("--labels", default="/root/reference/data/labels.npz")
+    p.add_argument("--out", default="QUALITY_r02.json")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import voxelmorph_tpu as vxm
+    from voxelmorph_tpu.models import load_model
+    from voxelmorph_tpu.registration import build_register_seg_fn
+    from voxelmorph_tpu.training import enable_compile_cache
+
+    enable_compile_cache()
+    labels = np.load(args.labels)["labels"]
+    pairs = vxm.py.utils.read_pair_list(args.pairs)
+    model, params = load_model(args.model)
+    register = build_register_seg_fn(model)
+
+    reg_times, dice_reg, dice_id, folds = [], [], [], []
+    for i, (mov_path, fix_path) in enumerate(pairs):
+        mov = np.load(mov_path)
+        fix = np.load(fix_path)
+        mv = jnp.asarray(mov["vol"], jnp.float32)[None, ..., None]
+        fx = jnp.asarray(fix["vol"], jnp.float32)[None, ..., None]
+        ms = jnp.asarray(mov["seg"], jnp.float32)[None, ..., None]
+
+        t0 = time.time()
+        moved, warp, warped_seg = register(params, mv, fx, ms)
+        warped_seg = np.asarray(jax.block_until_ready(warped_seg)).squeeze()
+        dt = time.time() - t0
+        if i:
+            reg_times.append(dt)
+
+        d_reg = vxm.py.utils.dice(warped_seg, fix["seg"], labels=labels)
+        d_id = vxm.py.utils.dice(mov["seg"], fix["seg"], labels=labels)
+        jac = vxm.py.utils.jacobian_determinant(np.asarray(warp).squeeze())
+        pct_folded = 100.0 * float(np.mean(jac <= 0))
+        dice_reg.append(float(np.mean(d_reg)))
+        dice_id.append(float(np.mean(d_id)))
+        folds.append(pct_folded)
+        print(f"pair {i + 1}: reg {dt:.3f}s  dice {np.mean(d_reg):.4f} "
+              f"+/- {np.std(d_reg):.4f}  (identity {np.mean(d_id):.4f})  "
+              f"folded {pct_folded:.3f}%")
+
+    report = {
+        "protocol": "BASELINE.md: fused warp-predict + nearest seg transport "
+                    "+ hard Dice over labels.npz (30 labels); pairs from "
+                    "scripts/make_eval_dataset.py (seed 2026)",
+        "model": os.path.abspath(args.model),
+        "n_pairs": len(pairs),
+        "dice_mean": round(float(np.mean(dice_reg)), 4),
+        "dice_std_over_pairs": round(float(np.std(dice_reg)), 4),
+        "dice_identity_mean": round(float(np.mean(dice_id)), 4),
+        "pct_folded_voxels_mean": round(float(np.mean(folds)), 4),
+        "reg_time_s_mean_excl_first": round(float(np.mean(reg_times)), 4),
+        "pairs_per_s": round(1.0 / float(np.mean(reg_times)), 4),
+        "per_pair_dice": [round(d, 4) for d in dice_reg],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

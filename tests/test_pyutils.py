@@ -33,6 +33,38 @@ def test_nifti_int_dtype(tmp_path):
     np.testing.assert_array_equal(back, vol)
 
 
+def test_nifti_qform_fallback(tmp_path):
+    """Files with sform_code=0 but a quaternion qform (common tool output)
+    must decode the qform instead of returning a bare pixdim affine."""
+    import struct
+
+    vol = RNG.normal(size=(4, 5, 6)).astype(np.float32)
+    path = str(tmp_path / "q.nii")
+    vio.write_nifti(path, vol)
+
+    # rewrite the header: clear sform, set qform with a 90-degree rotation
+    # about z (quaternion a=b=0... for Rz(90): a=cos45, d=sin45), zooms
+    # (1.5, 2.0, 2.5), offset (10, -4, 7), qfac=+1
+    import math
+    a = math.cos(math.pi / 4)
+    d = math.sin(math.pi / 4)
+    raw = bytearray(open(path, "rb").read())
+    struct.pack_into("<h", raw, 254, 0)  # sform_code = 0
+    struct.pack_into("<h", raw, 252, 1)  # qform_code = 1
+    struct.pack_into("<8f", raw, 76, 1.0, 1.5, 2.0, 2.5, 0, 0, 0, 0)  # pixdim
+    struct.pack_into("<3f", raw, 256, 0.0, 0.0, d)  # quatern b, c, d
+    struct.pack_into("<3f", raw, 268, 10.0, -4.0, 7.0)  # qoffset
+    open(path, "wb").write(bytes(raw))
+
+    back, aff = vio.read_nifti(path)
+    np.testing.assert_allclose(back, vol, atol=1e-6)
+    Rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    expect = np.eye(4)
+    expect[:3, :3] = Rz @ np.diag([1.5, 2.0, 2.5])
+    expect[:3, 3] = [10.0, -4.0, 7.0]
+    np.testing.assert_allclose(aff, expect, atol=1e-5)
+
+
 @pytest.mark.parametrize("ext", [".mgh", ".mgz"])
 def test_mgh_round_trip(tmp_path, ext):
     vol = RNG.normal(size=(5, 6, 7)).astype(np.float32)
