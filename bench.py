@@ -227,7 +227,7 @@ def measure_vecint_ab(iters=10, warmup=2):
         nch = 3.0
         if isinstance(out.get("selfwarp_pallas_ms"), float):
             t = out["selfwarp_pallas_ms"] / 1e3
-            flops = voxels * nch * (4 ** 3) * 3 + voxels * 3 * 4  # taps + d_eff
+            flops = voxels * nch * (3 ** 3) * 3 + voxels * 3 * 4  # taps + d_eff
             traffic = voxels * 4 * (nch * 2 + 3)  # vol in+out, 3 shift fields
             out["selfwarp_pallas_gflops"] = round(flops / t / 1e9, 1)
             out["selfwarp_pallas_gbps"] = round(traffic / t / 1e9, 1)

