@@ -143,11 +143,13 @@ def measure_train_step(iters=5, warmup=2, dtype_name="float32"):
     inputs = trainer._put((moving, fixed))
     targets = trainer._put((fixed, zeros))
     rng = jax.random.PRNGKey(0)
+    step_idx = np.asarray(0, np.int32)
 
     def step():
         (trainer.params, trainer.state, trainer.opt_state,
          metrics) = trainer.step_fn(trainer.params, trainer.state,
-                                    trainer.opt_state, rng, inputs, targets)
+                                    trainer.opt_state, rng, step_idx,
+                                    inputs, targets)
         return metrics["loss"]
 
     for _ in range(warmup):

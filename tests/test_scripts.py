@@ -44,6 +44,24 @@ def data(tmp_path_factory):
     return d
 
 
+def test_train_cache_device_and_bf16(data, tmp_path):
+    """train.py with the HBM-resident dataset cache and bf16 compute."""
+    import train as script
+    script.main([
+        "--img-list", str(data / "list.txt"),
+        "--model-dir", str(tmp_path / "m"),
+        "--cache-device", "--dtype", "bfloat16",
+        "--int-steps", "2", *TINY, *SHORT,
+    ])
+    path = str(tmp_path / "m" / "0001.npz")
+    assert os.path.isfile(path)
+    # the checkpoint remembers the compute dtype
+    import jax.numpy as jnp
+    from voxelmorph_tpu.models import load_model
+    model, params = load_model(path)
+    assert model.dtype == jnp.bfloat16
+
+
 def test_train_semisupervised_seg(data, tmp_path):
     import train_semisupervised_seg as script
     script.main([

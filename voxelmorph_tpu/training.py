@@ -97,13 +97,16 @@ def make_train_step(model, loss_terms: Sequence[LossTerm], tx,
                     needs_sample_rng: bool = False, donate: bool = True,
                     rng_names: Sequence[str] = ()):
     """Build the jitted train step:
-    (params, state, opt_state, rng, inputs, targets)
+    (params, state, opt_state, base_rng, step, inputs, targets)
     -> (params, state, opt_state, metrics).
-    Buffers are donated so params update in place in HBM."""
+    Buffers are donated so params update in place in HBM. The per-step rng is
+    derived INSIDE the jit (fold_in(base_rng, step)) so the host issues no
+    extra dispatch per step — step is a () int32 array."""
     loss_fn = make_loss_fn(model, loss_terms, needs_sample_rng=needs_sample_rng,
                            rng_names=rng_names)
 
-    def step(params, state, opt_state, rng, inputs, targets):
+    def step_fn(params, state, opt_state, base_rng, step, inputs, targets):
+        rng = jax.random.fold_in(base_rng, step)
         grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_state)), grads = grads_fn(
             params, state, inputs, targets, rng)
@@ -112,7 +115,7 @@ def make_train_step(model, loss_terms: Sequence[LossTerm], tx,
         return params, new_state, opt_state, metrics
 
     donate_argnums = (0, 1, 2) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
 def find_latest_checkpoint(model_dir: str):
@@ -302,16 +305,25 @@ class Trainer:
         return self.params
 
     def _put(self, arrays):
-        return tuple(mesh_lib.shard_batch(self.mesh, jnp.asarray(a, jnp.float32),
-                                          spatial=self.spatial_shard)
-                     for a in arrays)
+        def put(a):
+            # device arrays that already carry the desired sharding pass
+            # through untouched (no per-step re-put dispatch)
+            desired = mesh_lib.batch_sharding(self.mesh, np.ndim(a),
+                                              spatial=self.spatial_shard)
+            if isinstance(a, jax.Array) and a.dtype == jnp.float32 \
+                    and a.sharding == desired:
+                return a
+            return mesh_lib.shard_batch(self.mesh, jnp.asarray(a, jnp.float32),
+                                        spatial=self.spatial_shard)
+        return tuple(put(a) for a in arrays)
 
     def train_step(self, inputs, targets):
-        rng = jax.random.fold_in(self.base_rng, self.global_step)
         inputs = self._put(inputs)
         targets = self._put(targets)
+        step = np.asarray(self.global_step, np.int32)  # () array: no retrace
         self.params, self.state, self.opt_state, metrics = self.step_fn(
-            self.params, self.state, self.opt_state, rng, inputs, targets)
+            self.params, self.state, self.opt_state, self.base_rng, step,
+            inputs, targets)
         self.global_step += 1
         return metrics
 
