@@ -40,52 +40,45 @@ def main(argv=None):
     from voxelmorph_tpu.models import load_model
     from voxelmorph_tpu.registration import build_register_seg_fn
 
-    if args.img_prefix == args.seg_prefix and args.img_suffix == args.seg_suffix:
-        print('Error: Must provide a differing file suffix and/or prefix for images and segs.')
-        sys.exit(1)
+    if (args.img_prefix, args.img_suffix) == (args.seg_prefix, args.seg_suffix):
+        sys.exit('Error: image and seg paths need a differing prefix or suffix.')
     img_pairs = vxm.py.utils.read_pair_list(args.pairs, prefix=args.img_prefix,
                                             suffix=args.img_suffix)
     seg_pairs = vxm.py.utils.read_pair_list(args.pairs, prefix=args.seg_prefix,
                                             suffix=args.seg_suffix)
 
     labels = np.load(args.labels) if args.labels else None
-    add_feat_axis = not args.multichannel
+    feat_axis = not args.multichannel
+    load = lambda path, var: vxm.py.utils.load_volfile(
+        path, np_var=var, add_batch_axis=True, add_feat_axis=feat_axis)
 
     model, params = load_model(args.model)
     register = build_register_seg_fn(model)
 
-    reg_times = []
-    dice_means = []
-
-    for i in range(len(img_pairs)):
-        moving_vol = vxm.py.utils.load_volfile(
-            img_pairs[i][0], np_var='vol', add_batch_axis=True, add_feat_axis=add_feat_axis)
-        moving_seg = vxm.py.utils.load_volfile(
-            seg_pairs[i][0], np_var='seg', add_batch_axis=True, add_feat_axis=add_feat_axis)
-        fixed_vol = vxm.py.utils.load_volfile(
-            img_pairs[i][1], np_var='vol', add_batch_axis=True, add_feat_axis=add_feat_axis)
-        fixed_seg = vxm.py.utils.load_volfile(seg_pairs[i][1], np_var='seg')
-
-        mv = jnp.asarray(moving_vol, jnp.float32)
-        fx = jnp.asarray(fixed_vol, jnp.float32)
-        ms = jnp.asarray(moving_seg, jnp.float32)
+    timings, scores = [], []
+    for i, ((mov_img, fix_img), (mov_seg, fix_seg)) in enumerate(
+            zip(img_pairs, seg_pairs)):
+        mv = jnp.asarray(load(mov_img, 'vol'), jnp.float32)
+        fx = jnp.asarray(load(fix_img, 'vol'), jnp.float32)
+        ms = jnp.asarray(load(mov_seg, 'seg'), jnp.float32)
+        true_seg = vxm.py.utils.load_volfile(fix_seg, np_var='seg')
 
         start = time.time()
         moved, warp, warped_seg = register(params, mv, fx, ms)
         warped_seg = np.asarray(jax.block_until_ready(warped_seg)).squeeze()
-        reg_time = time.time() - start
-        if i != 0:
-            reg_times.append(reg_time)
+        elapsed = time.time() - start
+        if i:  # the first call pays compilation; exclude it like the reference
+            timings.append(elapsed)
 
-        overlap = vxm.py.utils.dice(warped_seg, fixed_seg, labels=labels)
-        dice_means.append(np.mean(overlap))
+        overlap = vxm.py.utils.dice(warped_seg, true_seg, labels=labels)
+        scores.append(np.mean(overlap))
         print('Pair %d    Reg Time: %.4f    Dice: %.4f +/- %.4f' % (
-            i + 1, reg_time, np.mean(overlap), np.std(overlap)))
+            i + 1, elapsed, np.mean(overlap), np.std(overlap)))
 
     print()
     print('Avg Reg Time: %.4f +/- %.4f  (skipping first prediction)' % (
-        np.mean(reg_times), np.std(reg_times)))
-    print('Avg Dice: %.4f +/- %.4f' % (np.mean(dice_means), np.std(dice_means)))
+        np.mean(timings), np.std(timings)))
+    print('Avg Dice: %.4f +/- %.4f' % (np.mean(scores), np.std(scores)))
 
 
 if __name__ == '__main__':

@@ -62,6 +62,33 @@ def test_train_cache_device_and_bf16(data, tmp_path):
     assert model.dtype == jnp.bfloat16
 
 
+def test_quality_eval_runner(data, tmp_path):
+    """run_quality_eval drives the BASELINE protocol end-to-end and writes a
+    well-formed report."""
+    import json
+    import train as train_script
+    import run_quality_eval as evalr
+
+    train_script.main([
+        "--img-list", str(data / "list.txt"),
+        "--model-dir", str(tmp_path / "m"),
+        "--int-steps", "2", *TINY, *SHORT,
+    ])
+    pairs = str(tmp_path / "pairs.txt")
+    scans = [str(data / f"scan{i}.npz") for i in range(3)]
+    with open(pairs, "w") as f:
+        f.write(f"{scans[0]} {scans[1]}\n{scans[1]} {scans[2]}\n")
+    labels_npz = str(tmp_path / "labels.npz")
+    np.savez(labels_npz, labels=np.array([1, 2]))
+    out = str(tmp_path / "q.json")
+    evalr.main(["--model", str(tmp_path / "m" / "0001.npz"),
+                "--pairs", pairs, "--labels", labels_npz, "--out", out])
+    report = json.load(open(out))
+    assert report["n_pairs"] == 2
+    assert 0.0 <= report["dice_mean"] <= 1.0
+    assert "dice_identity_mean" in report and "pct_folded_voxels_mean" in report
+
+
 def test_train_semisupervised_seg(data, tmp_path):
     import train_semisupervised_seg as script
     script.main([
