@@ -41,13 +41,8 @@ INSHAPE = (160, 192, 224)
 
 
 def _enable_compile_cache():
-    import jax
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from voxelmorph_tpu.training import enable_compile_cache
+    enable_compile_cache()
 
 
 def _load_pair():

@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--warp-res", type=float, default=32.0,
                    help="spatial scale of the velocity fields (voxels)")
     p.add_argument("--seed", type=int, default=2026)
+    p.add_argument("--splits", nargs="+", default=["train", "test"],
+                   choices=["train", "test"],
+                   help="which splits to (re)generate")
     return p.parse_args(argv)
 
 
@@ -75,9 +78,15 @@ def main(argv=None):
 
     base = jax.random.PRNGKey(args.seed)
     lists = {"train": [], "test": []}
-    for split, count in (("train", args.num_train), ("test", args.num_test)):
+    for split_idx, (split, count) in enumerate(
+            (("train", args.num_train), ("test", args.num_test))):
+        if split not in args.splits:
+            continue
+        # fold in the split INDEX — folding a shared first character would
+        # alias the splits and leak training variants into the test set
+        split_key = jax.random.fold_in(base, split_idx)
         for i in range(count):
-            key = jax.random.fold_in(jax.random.fold_in(base, ord(split[0])), i)
+            key = jax.random.fold_in(split_key, i)
             v, s = make_variant(key)
             path = os.path.join(args.out, f"{split}_{i:03d}.npz")
             # uncompressed: the training host decompresses two volumes per
@@ -89,11 +98,12 @@ def main(argv=None):
         with open(os.path.join(args.out, f"{split}_list.txt"), "w") as f:
             f.write("\n".join(lists[split]) + "\n")
 
-    # eval pair list: register test_i -> test_j for consecutive pairs
-    pairs = [(lists["test"][i], lists["test"][(i + 1) % len(lists["test"])])
-             for i in range(len(lists["test"]))]
-    with open(os.path.join(args.out, "test_pairs.txt"), "w") as f:
-        f.write("\n".join(f"{a} {b}" for a, b in pairs) + "\n")
+    if "test" in args.splits:
+        # eval pair list: register test_i -> test_j for consecutive pairs
+        pairs = [(lists["test"][i], lists["test"][(i + 1) % len(lists["test"])])
+                 for i in range(len(lists["test"]))]
+        with open(os.path.join(args.out, "test_pairs.txt"), "w") as f:
+            f.write("\n".join(f"{a} {b}" for a, b in pairs) + "\n")
     print("done")
 
 

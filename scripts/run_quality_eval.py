@@ -85,8 +85,12 @@ def main(argv=None):
         "dice_std_over_pairs": round(float(np.std(dice_reg)), 4),
         "dice_identity_mean": round(float(np.mean(dice_id)), 4),
         "pct_folded_voxels_mean": round(float(np.mean(folds)), 4),
-        "reg_time_s_mean_excl_first": round(float(np.mean(reg_times)), 4),
-        "pairs_per_s": round(1.0 / float(np.mean(reg_times)), 4),
+        # first pair pays compilation and is excluded; with a single pair
+        # there is no timing sample at all
+        "reg_time_s_mean_excl_first": (
+            round(float(np.mean(reg_times)), 4) if reg_times else None),
+        "pairs_per_s": (
+            round(1.0 / float(np.mean(reg_times)), 4) if reg_times else None),
         "per_pair_dice": [round(d, 4) for d in dice_reg],
     }
     with open(args.out, "w") as f:

@@ -169,22 +169,20 @@ def main(argv=None):
         terms.append(LossTerm('reg', vxm.losses.Grad('l2', loss_mult=args.int_downsize).loss,
                               weight=args.lambda_weight, target_index=reg_target, name='grad'))
 
-    trainer = Trainer(model, terms, lr=args.lr, needs_sample_rng=args.use_probs)
+    trainer = Trainer(model, terms, lr=args.lr, needs_sample_rng=args.use_probs,
+                      spatial_shard=args.spatial_shard)
 
-    if args.load_weights == 'latest':
-        # preemption recovery: resume from the newest checkpoint in model-dir
-        from voxelmorph_tpu.training import find_latest_checkpoint
-        path, epoch = find_latest_checkpoint(args.model_dir)
-        if path:
-            print(f'resuming from {path} (epoch {epoch})')
-            trainer.load(path)
-            args.initial_epoch = max(args.initial_epoch, epoch)
-        else:
-            trainer.init(tuple(sample[0]))
-    elif args.load_weights:
-        trainer.load(args.load_weights)
-    else:
-        trainer.init(tuple(sample[0]))
+    from voxelmorph_tpu.training import init_or_resume
+    args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
+                                        tuple(sample[0]), args.initial_epoch)
+
+    if args.cache_device and args.initial_epoch:
+        # rebuild the device-cached stream at the resumed position so a
+        # resumed run sees the batch sequence the uninterrupted run would
+        generator = device_cached_pair_generator(
+            train_files, batch_size=args.batch_size, bidir=args.bidir,
+            atlas=atlas, add_feat_axis=add_feat_axis,
+            start_step=args.initial_epoch * args.steps_per_epoch)
 
     trainer.fit(generator,
                 epochs=args.epochs,

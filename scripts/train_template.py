@@ -93,7 +93,10 @@ def main(argv=None):
     args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
                                         tuple(sample[0]), args.initial_epoch)
 
-    if args.init_template:
+    if args.init_template and trainer.loaded_from is None:
+        # seed the learnable atlas only on a FRESH start: re-seeding after a
+        # checkpoint resume would discard the trained atlas and reset the
+        # optimizer state
         template = vxm.py.utils.load_volfile(args.init_template,
                                              add_batch_axis=True,
                                              add_feat_axis=add_feat_axis)

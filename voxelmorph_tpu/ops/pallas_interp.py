@@ -172,7 +172,7 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
 
 # ------------------------------------------------------------ backward kernel
 
-def _bwd_kernel(h, tz, spatial, nch, d0,
+def _bwd_kernel(h, tz, spatial, nch,
                 vol_ref, g_ref, sz_ref, sy_ref, sx_ref,
                 dvol_ref, dsz_ref, dsy_ref, dsx_ref):
     """One z-slab of the warp VJP.
@@ -308,7 +308,7 @@ def _bwd_impl_pallas(vol_cf, shift, g, h: int):
         (pl.Element(win_z), pl.Element(H + 2 * p), pl.Element(W + 2 * p)),
         lambda i: (i * tz, 0, 0))
 
-    kernel = functools.partial(_bwd_kernel, h, tz, (D, H, W), nch, 0)
+    kernel = functools.partial(_bwd_kernel, h, tz, (D, H, W), nch)
     dvol, dsz, dsy, dsx = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -161,7 +161,7 @@ def prefetch(generator, size: int = 2):
 
 def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False,
                                  atlas=None, add_feat_axis: bool = True,
-                                 seed: int = 0):
+                                 seed: int = 0, start_step: int = 0):
     """Pair generator over a dataset cached in device HBM.
 
     Loads every training volume ONCE onto the device and then samples
@@ -173,7 +173,10 @@ def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False
     16 GB HBM.
 
     Yields the same (inputs, targets) tuple contract as
-    generators.scan_to_scan / scan_to_atlas.
+    generators.scan_to_scan / scan_to_atlas. Sampling is STATELESS per step
+    (rng keyed by (seed, step)), so a resumed run passing
+    ``start_step = resumed_epoch * steps_per_epoch`` replays exactly the
+    batch sequence the uninterrupted run would have seen.
     """
     import jax.numpy as jnp
     from .py import utils as py_utils
@@ -189,8 +192,9 @@ def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False
         atlas_dev = jnp.broadcast_to(jnp.asarray(atlas, jnp.float32),
                                      (batch_size, *spatial, atlas.shape[-1]))
 
-    rng = np.random.default_rng(seed)
+    step = start_step
     while True:
+        rng = np.random.default_rng((seed, step))
         if atlas_dev is not None:
             src = jnp.take(data, rng.integers(n, size=batch_size), axis=0)
             trg = atlas_dev
@@ -199,6 +203,7 @@ def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False
             src = jnp.take(data, idx[:batch_size], axis=0)
             trg = jnp.take(data, idx[batch_size:], axis=0)
         targets = [trg, src, zeros] if bidir else [trg, zeros]
+        step += 1
         yield [src, trg], targets
 
 
@@ -278,6 +283,7 @@ class Trainer:
         self.state = {}  # non-param variable collections (e.g. 'stream')
         self.opt_state = None
         self.global_step = 0
+        self.loaded_from = None  # checkpoint path when resumed via load()
 
     def _ensure_mesh(self, arrays):
         if self.mesh is None:
@@ -306,12 +312,14 @@ class Trainer:
 
     def _put(self, arrays):
         def put(a):
-            # device arrays that already carry the desired sharding pass
-            # through untouched (no per-step re-put dispatch)
+            # device arrays whose placement is equivalent to the desired
+            # sharding pass through untouched (no per-step re-put dispatch);
+            # is_equivalent_to also matches a SingleDeviceSharding against a
+            # one-device NamedSharding, the cache-device generator case
             desired = mesh_lib.batch_sharding(self.mesh, np.ndim(a),
                                               spatial=self.spatial_shard)
             if isinstance(a, jax.Array) and a.dtype == jnp.float32 \
-                    and a.sharding == desired:
+                    and a.sharding.is_equivalent_to(desired, np.ndim(a)):
                 return a
             return mesh_lib.shard_batch(self.mesh, jnp.asarray(a, jnp.float32),
                                         spatial=self.spatial_shard)
@@ -390,11 +398,20 @@ class Trainer:
         modelio.save_model(path, self.model, jax.device_get(self.params),
                            extra_trees=extra)
 
-    def load(self, path: str):
+    def load(self, path: str, sample_inputs=None):
         """Restore params — and, when present, optimizer state, variable
-        collections, step counter and RNG — from a checkpoint."""
+        collections, step counter and RNG — from a checkpoint.
+
+        Pass ``sample_inputs`` (a batch like the ones training will see) so
+        the device mesh is rebuilt for the real batch shape; without it a
+        fresh trainer would fall back to a single-device mesh and a resumed
+        multi-chip job would silently lose its data/spatial parallelism.
+        """
+        if self.mesh is None and sample_inputs is not None:
+            self._ensure_mesh(sample_inputs)
         _, params, extra = modelio.load_model(path, with_extra=True)
         self.init(None, params=params)
+        self.loaded_from = path
         if "state" in extra:
             self.state = mesh_lib.replicate(self.mesh, extra["state"])
         if "opt" in extra:
@@ -422,12 +439,12 @@ def init_or_resume(trainer: "Trainer", load_weights: Optional[str],
         path, epoch = find_latest_checkpoint(model_dir)
         if path:
             log_fn(f"resuming from {path} (epoch {epoch})")
-            trainer.load(path)
+            trainer.load(path, sample_inputs=sample_inputs)
             return max(initial_epoch, epoch)
         trainer.init(sample_inputs)
         return initial_epoch
     if load_weights:
-        trainer.load(load_weights)
+        trainer.load(load_weights, sample_inputs=sample_inputs)
         return initial_epoch
     trainer.init(sample_inputs)
     return initial_epoch
