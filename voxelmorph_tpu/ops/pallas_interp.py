@@ -12,7 +12,7 @@ A general 3-D grid-sample is 8 random gathers per voxel. The XLA path in
 but the table is 2^N x the volume in HBM and every gather transaction is
 random. For |shift| <= h, however, the warp is exactly
 
-    out[x] = sum_{o in [-h, h+1]^3}  prod_d max(0, 1 - |d_eff_d(x) - o_d|)
+    out[x] = sum_{o in [-h, h]^3}  prod_d max(0, 1 - |d_eff_d(x) - o_d|)
              * vol[x + o]
 
 a sum of (2h+1)^3 *contiguous shifted slices* — every HBM access is
@@ -81,7 +81,7 @@ def _pick_tz(d: int, h: int, hw_bytes: int, nch: int, budget=6 * 1024 * 1024):
 
 
 def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
-    """One z-slab: accumulate the (2h+2)^3 shifted-slice terms in VMEM.
+    """One z-slab: accumulate the (2h+1)^3 shifted-slice terms in VMEM.
 
     vol_ref: (C, TZ+2p, H+2p, W+2p) edge-padded input window
     s*_ref:  (TZ, H, W) per-axis displacement components
@@ -90,7 +90,7 @@ def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
     The z offsets run in a fori_loop — z is an untiled dim, so a dynamic
     slice start is legal there; the (y, x) offsets are unrolled with STATIC
     (if unaligned) starts, which Mosaic lowers to vector shifts. This bounds
-    live VMEM temporaries to one z-window plus the (2h+2)^2 inner terms.
+    live VMEM temporaries to one z-window plus the (2h+1)^2 inner terms.
     """
     import jax.experimental.pallas as pl
 
