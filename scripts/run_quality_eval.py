@@ -50,6 +50,7 @@ def main(argv=None):
     register = build_register_seg_fn(model)
 
     reg_times, dice_reg, dice_id, folds = [], [], [], []
+    per_label = []  # (n_pairs, n_labels) Dice matrix
     for i, (mov_path, fix_path) in enumerate(pairs):
         mov = np.load(mov_path)
         fix = np.load(fix_path)
@@ -65,6 +66,7 @@ def main(argv=None):
             reg_times.append(dt)
 
         d_reg = vxm.py.utils.dice(warped_seg, fix["seg"], labels=labels)
+        per_label.append(d_reg)
         d_id = vxm.py.utils.dice(mov["seg"], fix["seg"], labels=labels)
         jac = vxm.py.utils.jacobian_determinant(np.asarray(warp).squeeze())
         pct_folded = 100.0 * float(np.mean(jac <= 0))
@@ -81,8 +83,13 @@ def main(argv=None):
                     "scripts/make_eval_dataset.py (seed 2026)",
         "model": os.path.abspath(args.model),
         "n_pairs": len(pairs),
+        "n_labels": len(np.asarray(per_label)[0]),
         "dice_mean": round(float(np.mean(dice_reg)), 4),
         "dice_std_over_pairs": round(float(np.std(dice_reg)), 4),
+        # std across the per-label means (pair-averaged), the reference
+        # test.py's reporting convention
+        "dice_std_over_labels": round(
+            float(np.std(np.mean(np.asarray(per_label), axis=0))), 4),
         "dice_identity_mean": round(float(np.mean(dice_id)), 4),
         "pct_folded_voxels_mean": round(float(np.mean(folds)), 4),
         # first pair pays compilation and is excluded; with a single pair
