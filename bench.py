@@ -73,7 +73,7 @@ def _timed_chain(fn, *args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def measure_inference(batch_sizes=(1, 2, 4), dtypes=("float32", "bfloat16"),
+def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("float32", "bfloat16"),
                       iters=8, warmup=2):
     """Registration forward throughput sweep. Returns (best, best_cfg, detail)."""
     import jax
@@ -261,6 +261,11 @@ if __name__ == "__main__":
         detail["train_pairs_per_s"] = round(1.0 / step_s, 4)
     except Exception as e:
         detail["train_step_s_bs1_f32"] = f"failed: {type(e).__name__}"
+    try:
+        step_s = measure_train_step(dtype_name="bfloat16")
+        detail["train_step_s_bs1_bf16"] = round(step_s, 3)
+    except Exception as e:
+        detail["train_step_s_bs1_bf16"] = f"failed: {type(e).__name__}"
     try:
         detail.update(measure_vecint_ab())
     except Exception as e:
