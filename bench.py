@@ -30,12 +30,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-# Measured on this image via `python bench.py --cpu-baseline` (JAX on host
-# CPU, full default VxmDense forward at 160x192x224): 0.0076 pairs/s.
-# Fixed here so vs_baseline is stable across runs. (The reference TF-CPU
-# stack is not runnable in this image; this JAX-CPU number stands in for it
-# and is labeled as such in `baseline` below.)
-BASELINE_CPU_PAIRS_PER_S = 0.0076
+# Measured via `python scripts/measure_reference_baseline.py`: the ACTUAL
+# reference implementation (torch backend; TF needs neurite, absent here),
+# default VxmDense forward at 160x192x224 on this image's host CPU:
+# 0.0470 pairs/s (steady-state, 1 thread — the host has one core). Pinned so
+# vs_baseline is stable across runs. The old JAX-CPU stand-in measured
+# 0.0076 pairs/s; the reference's torch stack is ~6x faster than that, so
+# this pin is the *conservative* comparison.
+BASELINE_CPU_PAIRS_PER_S = 0.0470
 
 INSHAPE = (160, 192, 224)
 
@@ -276,6 +278,7 @@ if __name__ == "__main__":
         "value": round(value, 4),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / BASELINE_CPU_PAIRS_PER_S, 2),
-        "baseline": "JAX-CPU same-model forward, 0.0076 pairs/s (see header)",
+        "baseline": "measured reference (torch-CPU) forward, 0.0470 pairs/s "
+                    "(scripts/measure_reference_baseline.py)",
         "detail": detail,
     }))
