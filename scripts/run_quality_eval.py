@@ -44,9 +44,16 @@ def main(argv=None):
     from voxelmorph_tpu.training import enable_compile_cache
 
     enable_compile_cache()
-    labels = np.load(args.labels)["labels"]
+    labels = np.load(args.labels)
+    if not isinstance(labels, np.ndarray):  # npz archive (reference format)
+        labels = labels["labels"]
     pairs = vxm.py.utils.read_pair_list(args.pairs)
     model, params = load_model(args.model)
+    if type(model).__name__ == "SynthMorphDense":
+        # a SynthMorph checkpoint carries the synthesis wrapper; evaluation
+        # registers *acquired* images through the inner net only
+        from voxelmorph_tpu.models.synthmorph import registration_model
+        model, params = registration_model(model, params)
     register = build_register_seg_fn(model)
 
     reg_times, dice_reg, dice_id, folds = [], [], [], []
@@ -79,8 +86,9 @@ def main(argv=None):
 
     report = {
         "protocol": "BASELINE.md: fused warp-predict + nearest seg transport "
-                    "+ hard Dice over labels.npz (30 labels); pairs from "
-                    "scripts/make_eval_dataset.py (seed 2026)",
+                    f"+ hard Dice over {len(labels)} labels "
+                    f"({os.path.basename(args.labels)}); pairs from "
+                    f"{args.pairs}",
         "model": os.path.abspath(args.model),
         "n_pairs": len(pairs),
         "n_labels": len(np.asarray(per_label)[0]),

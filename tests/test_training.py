@@ -187,6 +187,39 @@ def test_synthmorph_checkpoint_roundtrip(tmp_path):
                                np.asarray(out2["y_source"]), atol=1e-6)
 
 
+def test_synthmorph_registration_extraction(tmp_path):
+    """A trained SynthMorphDense checkpoint yields a standalone registration
+    net for acquired images: extracted params drop into a VxmDense whose
+    param structure init would produce, and registering a real-image pair
+    returns a finite warp of the right shape."""
+    import jax.numpy as jnp
+    from voxelmorph_tpu.models import (LabelsToImageConfig, SynthMorphDense,
+                                       load_model, save_model)
+    from voxelmorph_tpu.models.synthmorph import registration_model
+
+    cfg = LabelsToImageConfig(in_shape=SHAPE, in_label_list=[0, 1, 2],
+                              warp_res=[8], bias_res=[8], warp_int_steps=2)
+    model = SynthMorphDense(cfg=cfg, nb_unet_features=[[4], [4, 4]],
+                            int_steps=1)
+    maps = RNG.integers(0, 3, size=(1, *SHAPE, 1)).astype(np.int32)
+    src = jax.numpy.asarray(maps)
+    rngs = {"params": jax.random.PRNGKey(0), "synth": jax.random.PRNGKey(1)}
+    params = model.init(rngs, src, src)["params"]
+    path = str(tmp_path / "synth.npz")
+    save_model(path, model, jax.device_get(params))
+
+    model2, params2 = load_model(path)
+    net, net_params = registration_model(model2, params2)
+    mov = jnp.asarray(RNG.random((1, *SHAPE, 1)), jnp.float32)
+    fix = jnp.asarray(RNG.random((1, *SHAPE, 1)), jnp.float32)
+    ref_structure = jax.tree_util.tree_structure(
+        net.init(jax.random.PRNGKey(0), mov, fix)["params"])
+    assert jax.tree_util.tree_structure(net_params) == ref_structure
+    out = net.apply({"params": net_params}, mov, fix, train=False)
+    assert out["pos_flow"].shape == (1, *SHAPE, len(SHAPE))
+    assert np.isfinite(np.asarray(out["y_source"])).all()
+
+
 def test_metrics_csv(tmp_path):
     path = str(tmp_path / "metrics.csv")
     logger = MetricsLogger(path)

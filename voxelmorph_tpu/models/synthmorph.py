@@ -31,7 +31,7 @@ from ..ops.image import barycenter, draw_multiscale_noise, gaussian_blur, sqrtm
 from .unet import HyperConv
 
 __all__ = ["labels_to_image", "LabelsToImageConfig", "VxmAffineFeatureDetector",
-           "HyperVxmJoint"]
+           "HyperVxmJoint", "registration_model"]
 
 
 class LabelsToImageConfig:
@@ -229,6 +229,29 @@ class SynthMorphDense(nn.Module):
         out["map_1"], out["map_2"] = map_1, map_2
         out["pred_map"] = warp_ops.transform_batched(map_1, out["pos_flow"])
         return out
+
+
+def registration_model(model, params):
+    """Extract the inner registration net from a trained SynthMorphDense.
+
+    SynthMorph trains on synthesized images but is *deployed* on acquired
+    ones (the reference ships the inner registration weights only, see
+    scripts/tf/train_synthmorph.py:149-151 — the synthesis layers have no
+    parameters worth keeping). Returns ``(VxmDense, vxm_params)`` callable
+    as ``net.apply({'params': p}, moving, fixed, train=False)`` on real
+    image pairs of shape ``cfg.out_shape``.
+    """
+    from .vxm import VxmDense
+
+    net = VxmDense(
+        inshape=model.cfg.out_shape,
+        nb_unet_features=model.nb_unet_features,
+        int_steps=model.int_steps,
+        int_resolution=model.int_resolution,
+        svf_resolution=model.svf_resolution,
+        dtype=model.dtype,
+    )
+    return net, params["vxm"]
 
 
 def _scale_matrix(fact, nd):
