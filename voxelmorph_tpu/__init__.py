@@ -28,4 +28,5 @@ _honor_platform_env()
 from . import generators, layers, losses, ops, py
 from . import models
 from . import networks  # noqa: F401  (API-parity alias module)
+from . import utils  # noqa: F401  (API-parity alias: reference vxm.utils ops layer)
 from . import parallel, registration, training
