@@ -187,6 +187,31 @@ def test_synthmorph_checkpoint_roundtrip(tmp_path):
                                np.asarray(out2["y_source"]), atol=1e-6)
 
 
+def test_async_save_atomic_and_identical(tmp_path):
+    """A background save writes the same complete checkpoint as a blocking
+    one (params, opt state, step, rng) and leaves no partial tmp files —
+    the preemption-safety contract of the async checkpoint path."""
+    from voxelmorph_tpu.models import modelio
+
+    trainer = Trainer(_model(), _terms(), lr=1e-3, seed=7)
+    inputs, targets = _batch()
+    trainer.init(inputs)
+    trainer.train_step(inputs, targets)
+
+    sync_path = str(tmp_path / "sync.npz")
+    async_path = str(tmp_path / "async.npz")
+    trainer.save(sync_path)
+    trainer.save(async_path, wait=False)
+    trainer.wait_for_saves()
+
+    assert not list(tmp_path.glob("*.tmp.npz"))
+    _, p1, e1 = modelio.load_model(sync_path, with_extra=True)
+    _, p2, e2 = modelio.load_model(async_path, with_extra=True)
+    for a, b in zip(jax.tree_util.tree_leaves((p1, e1)),
+                    jax.tree_util.tree_leaves((p2, e2))):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_synthmorph_registration_extraction(tmp_path):
     """A trained SynthMorphDense checkpoint yields a standalone registration
     net for acquired images: extracted params drop into a VxmDense whose

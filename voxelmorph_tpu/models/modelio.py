@@ -149,8 +149,15 @@ def save_model(path: str, model, params, extra_config: Optional[Dict] = None,
     flat = _flatten(params)
     for name, tree in (extra_trees or {}).items():
         flat.update(_flatten(tree, prefix=_EXTRA + name + _SEP))
-    np.savez(path, __config__=np.frombuffer(encoded.encode(), dtype=np.uint8),
+    # write-then-rename so a preemption mid-save never corrupts the file a
+    # later ``--load-weights latest`` resume would pick up (the tmp name
+    # cannot match find_latest_checkpoint's numbered-file pattern)
+    import os
+    final = path if path.endswith(".npz") else path + ".npz"
+    tmp = final + ".tmp.npz"
+    np.savez(tmp, __config__=np.frombuffer(encoded.encode(), dtype=np.uint8),
              **flat)
+    os.replace(tmp, final)
 
 
 def load_model(path: str, with_extra: bool = False):

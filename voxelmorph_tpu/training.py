@@ -352,7 +352,8 @@ class Trainer:
 
         if model_dir:
             os.makedirs(model_dir, exist_ok=True)
-            self.save(os.path.join(model_dir, save_filename.format(epoch=initial_epoch)))
+            self.save(os.path.join(model_dir, save_filename.format(epoch=initial_epoch)),
+                      wait=False)
 
         for epoch in range(initial_epoch, epochs):
             t0 = time.time()
@@ -369,14 +370,16 @@ class Trainer:
             logger.log(epoch + 1, last_metrics, dt)
 
             if model_dir and ((epoch + 1) % save_freq_epochs == 0 or epoch + 1 == epochs):
-                self.save(os.path.join(model_dir, save_filename.format(epoch=epoch + 1)))
+                self.save(os.path.join(model_dir, save_filename.format(epoch=epoch + 1)),
+                          wait=False)
 
+        self.wait_for_saves()
         logger.close()
         if profile_dir:
             jax.profiler.stop_trace()
         return last_metrics
 
-    def save(self, path: str):
+    def save(self, path: str, wait: bool = True):
         """Write a complete training checkpoint.
 
         Beyond params (what the reference's weights-only `.h5` holds), this
@@ -384,19 +387,46 @@ class Trainer:
         MeanStream's 'stream'), the global step, and the base PRNG key —
         everything needed for a preempted run to resume with metrics
         identical to an uninterrupted one.
+
+        With ``wait=False`` the device→host transfer and file write run in a
+        background thread so the train loop keeps dispatching steps. This is
+        safe without copies: jax arrays are immutable, so snapshotting the
+        pytree references here pins this step's buffers regardless of how far
+        training advances. At most one save is in flight — a new one first
+        joins the previous — and the file lands atomically (modelio).
         """
-        extra = {}
-        if self.state:
-            extra["state"] = jax.device_get(self.state)
-        if self.opt_state is not None:
-            leaves = jax.tree_util.tree_leaves(jax.device_get(self.opt_state))
-            extra["opt"] = {f"{i:05d}": np.asarray(l) for i, l in enumerate(leaves)}
-        extra["train"] = {
-            "step": np.asarray(self.global_step, np.int64),
-            "base_rng": np.asarray(jax.device_get(self.base_rng)),
-        }
-        modelio.save_model(path, self.model, jax.device_get(self.params),
-                           extra_trees=extra)
+        self.wait_for_saves()
+        params, state, opt_state = self.params, self.state, self.opt_state
+        step, base_rng = self.global_step, self.base_rng
+
+        def _write():
+            extra = {}
+            if state:
+                extra["state"] = jax.device_get(state)
+            if opt_state is not None:
+                leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+                extra["opt"] = {f"{i:05d}": np.asarray(l)
+                                for i, l in enumerate(leaves)}
+            extra["train"] = {
+                "step": np.asarray(step, np.int64),
+                "base_rng": np.asarray(jax.device_get(base_rng)),
+            }
+            modelio.save_model(path, self.model, jax.device_get(params),
+                               extra_trees=extra)
+
+        if wait:
+            _write()
+        else:
+            self._save_thread = threading.Thread(
+                target=_write, name="trainer-save", daemon=False)
+            self._save_thread.start()
+
+    def wait_for_saves(self):
+        """Block until any in-flight async checkpoint write has completed."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
 
     def load(self, path: str, sample_inputs=None):
         """Restore params — and, when present, optimizer state, variable
@@ -407,6 +437,7 @@ class Trainer:
         fresh trainer would fall back to a single-device mesh and a resumed
         multi-chip job would silently lose its data/spatial parallelism.
         """
+        self.wait_for_saves()
         if self.mesh is None and sample_inputs is not None:
             self._ensure_mesh(sample_inputs)
         _, params, extra = modelio.load_model(path, with_extra=True)
