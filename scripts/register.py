@@ -23,6 +23,9 @@ def parse_args(argv=None):
     parser.add_argument('-g', '--gpu', help='ignored (TPU devices are auto-detected)')
     parser.add_argument('--multichannel', action='store_true',
                         help='volumes already carry a trailing channel axis')
+    parser.add_argument('--hyper', type=float, default=0.5,
+                        help='regularization hyperparameter fed to HyperVxmJoint '
+                             'models (ignored by others)')
     return parser.parse_args(argv)
 
 
@@ -32,7 +35,9 @@ def main(argv=None):
     import jax.numpy as jnp
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import load_model
-    from voxelmorph_tpu.registration import build_register_fn
+    from voxelmorph_tpu.registration import (build_joint_register_fn,
+                                             build_register_fn,
+                                             resolve_registration_model)
 
     add_feat_axis = not args.multichannel
     moving = vxm.py.utils.load_volfile(args.moving, add_batch_axis=True,
@@ -40,10 +45,14 @@ def main(argv=None):
     fixed, fixed_affine = vxm.py.utils.load_volfile(
         args.fixed, add_batch_axis=True, add_feat_axis=add_feat_axis, ret_affine=True)
 
-    model, params = load_model(args.model)
-    register = build_register_fn(model)
-    moved, warp = register(params, jnp.asarray(moving, jnp.float32),
-                           jnp.asarray(fixed, jnp.float32))
+    model, params = resolve_registration_model(*load_model(args.model))
+    mv = jnp.asarray(moving, jnp.float32)
+    fx = jnp.asarray(fixed, jnp.float32)
+    if type(model).__name__ == "HyperVxmJoint":
+        hyp = jnp.full((mv.shape[0], 1), args.hyper, jnp.float32)
+        moved, warp = build_joint_register_fn(model)(params, hyp, mv, fx)
+    else:
+        moved, warp = build_register_fn(model)(params, mv, fx)
 
     import numpy as np
     if args.warp:

@@ -40,7 +40,8 @@ def main(argv=None):
     import numpy as np
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import load_model
-    from voxelmorph_tpu.registration import build_register_seg_fn
+    from voxelmorph_tpu.registration import (build_register_seg_fn,
+                                             resolve_registration_model)
     from voxelmorph_tpu.training import enable_compile_cache
 
     enable_compile_cache()
@@ -48,12 +49,7 @@ def main(argv=None):
     if not isinstance(labels, np.ndarray):  # npz archive (reference format)
         labels = labels["labels"]
     pairs = vxm.py.utils.read_pair_list(args.pairs)
-    model, params = load_model(args.model)
-    if type(model).__name__ == "SynthMorphDense":
-        # a SynthMorph checkpoint carries the synthesis wrapper; evaluation
-        # registers *acquired* images through the inner net only
-        from voxelmorph_tpu.models.synthmorph import registration_model
-        model, params = registration_model(model, params)
+    model, params = resolve_registration_model(*load_model(args.model))
     register = build_register_seg_fn(model)
 
     reg_times, dice_reg, dice_id, folds = [], [], [], []

@@ -227,3 +227,36 @@ def test_train_semisupervised_pointcloud(data, tmp_path):
         "--int-steps", "2", *TINY, *SHORT,
     ])
     assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
+
+
+def test_register_hyper_vxm_joint(data, tmp_path):
+    """register.py drives a HyperVxmJoint checkpoint (the SynthMorph
+    affine+deformable product): --hyper feeds the amortized regularization
+    weight and the fused call writes moved + warp volumes."""
+    import jax
+    import register as script
+    from voxelmorph_tpu.models import HyperVxmJoint, save_model
+
+    # >= nd+1 affine features: fewer landmarks make the 3-D LSQ fit
+    # singular (NaN affine) by construction, same as the reference
+    model = HyperVxmJoint(in_shape=SHAPE, int_steps=1, hyp_units=(2,),
+                          enc_nf=(2,), dec_nf=(2,), add_nf=(2,),
+                          aff_num_feat=8, aff_enc_nf=(4,))
+    files = vxm.py.utils.read_file_list(str(data / "list.txt"))
+    mv = vxm.py.utils.load_volfile(files[0], add_batch_axis=True,
+                                   add_feat_axis=True).astype(np.float32)
+    hyp = np.full((1, 1), 0.5, np.float32)
+    params = model.init(jax.random.PRNGKey(0), hyp, mv, mv)["params"]
+    ckpt = str(tmp_path / "joint.npz")
+    save_model(ckpt, model, jax.device_get(params))
+
+    moved_path = str(tmp_path / "moved.nii.gz")
+    warp_path = str(tmp_path / "warp.nii.gz")
+    script.main(["--moving", files[0], "--fixed", files[1],
+                 "--model", ckpt, "--moved", moved_path,
+                 "--warp", warp_path, "--hyper", "0.3"])
+    moved = vxm.py.utils.load_volfile(moved_path)
+    warp = vxm.py.utils.load_volfile(warp_path)
+    assert moved.shape == SHAPE
+    assert warp.shape == (*SHAPE, len(SHAPE))
+    assert np.isfinite(moved).all() and np.isfinite(warp).all()

@@ -16,7 +16,23 @@ import jax.numpy as jnp
 
 from .ops import warp as warp_ops
 
-__all__ = ["build_register_fn", "register_pair"]
+__all__ = ["build_register_fn", "build_register_seg_fn",
+           "build_joint_register_fn", "resolve_registration_model",
+           "register_pair"]
+
+
+def resolve_registration_model(model, params):
+    """Map any loadable checkpoint to a net that registers *images*.
+
+    SynthMorphDense checkpoints carry the synthesis wrapper around the
+    registration net — deployment uses the inner VxmDense only (the
+    reference ships just those weights, scripts/tf/train_synthmorph.py:149).
+    Every other model class registers images directly and passes through.
+    """
+    if type(model).__name__ == "SynthMorphDense":
+        from .models.synthmorph import registration_model
+        return registration_model(model, params)
+    return model, params
 
 
 def build_register_fn(model, interp_method: str = "linear"):
@@ -44,6 +60,28 @@ def build_register_seg_fn(model):
         moved_seg = warp_ops.transform_batched(
             moving_seg, warp, interp_method="nearest")
         return out["y_source"], warp, moved_seg
+
+    return _register
+
+
+def build_joint_register_fn(model):
+    """Jitted fn(params, hyp, moving, fixed) -> (moved, warp) for
+    HyperVxmJoint — the SynthMorph affine+deformable product.
+
+    ``hyp`` is the (B, 1) regularization hyperparameter the deformable
+    stage was amortized over. The total transform operates on zero-based
+    indices (reference tf/networks.py:1648-1666 convention), so the moved
+    image is produced with ``shift_center=False`` and zero fill.
+    """
+
+    @jax.jit
+    def _register(params, hyp, moving, fixed):
+        out = model.apply({"params": params}, hyp, moving, fixed)
+        warp = out["tot_1"]
+        moved = jax.vmap(
+            lambda im, w: warp_ops.transform(
+                im, w, fill_value=0.0, shift_center=False))(moving, warp)
+        return moved, warp
 
     return _register
 
