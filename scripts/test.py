@@ -38,7 +38,8 @@ def main(argv=None):
     import numpy as np
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import load_model
-    from voxelmorph_tpu.registration import build_register_seg_fn
+    from voxelmorph_tpu.registration import (build_register_seg_fn,
+                                             resolve_registration_model)
 
     if (args.img_prefix, args.img_suffix) == (args.seg_prefix, args.seg_suffix):
         sys.exit('Error: image and seg paths need a differing prefix or suffix.')
@@ -52,7 +53,7 @@ def main(argv=None):
     load = lambda path, var: vxm.py.utils.load_volfile(
         path, np_var=var, add_batch_axis=True, add_feat_axis=feat_axis)
 
-    model, params = load_model(args.model)
+    model, params = resolve_registration_model(*load_model(args.model))
     register = build_register_seg_fn(model)
 
     timings, scores = [], []
