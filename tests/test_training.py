@@ -212,6 +212,18 @@ def test_async_save_atomic_and_identical(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_async_save_failure_surfaces(tmp_path):
+    """A failed background write must raise at the next join, not vanish."""
+    trainer = Trainer(_model(), _terms(), lr=1e-3, seed=7)
+    inputs, targets = _batch()
+    trainer.init(inputs)
+    trainer.save(str(tmp_path / "no-such-dir" / "x.npz"), wait=False)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        trainer.wait_for_saves()
+    # the error is consumed; subsequent saves work again
+    trainer.save(str(tmp_path / "ok.npz"))
+
+
 def test_synthmorph_registration_extraction(tmp_path):
     """A trained SynthMorphDense checkpoint yields a standalone registration
     net for acquired images: extracted params drop into a VxmDense whose

@@ -417,16 +417,31 @@ class Trainer:
         if wait:
             _write()
         else:
+            def _guarded():
+                try:
+                    _write()
+                except BaseException as e:  # surface on the next join
+                    self._save_error = e
+
             self._save_thread = threading.Thread(
-                target=_write, name="trainer-save", daemon=False)
+                target=_guarded, name="trainer-save", daemon=False)
             self._save_thread.start()
 
     def wait_for_saves(self):
-        """Block until any in-flight async checkpoint write has completed."""
+        """Block until any in-flight async checkpoint write has completed.
+
+        Re-raises a failed background write (e.g. disk full) here rather
+        than losing it — otherwise training would run on with a stale
+        'latest' checkpoint and no warning.
+        """
         t = getattr(self, "_save_thread", None)
         if t is not None:
             t.join()
             self._save_thread = None
+        err = getattr(self, "_save_error", None)
+        if err is not None:
+            self._save_error = None
+            raise RuntimeError("async checkpoint write failed") from err
 
     def load(self, path: str, sample_inputs=None):
         """Restore params — and, when present, optimizer state, variable
