@@ -133,6 +133,10 @@ def semisupervised(vol_names, seg_names, labels, atlas_file=None, downsize=2):
 
     inputs [src, trg, src_seg], outputs [trg, zero-warp, trg_seg].
     """
+    # seg paths identical to the volume paths means multi-variable files
+    # (npz/npy with 'vol' + 'seg'), like the atlas handling below
+    if isinstance(seg_names, list) and list(seg_names) == list(vol_names):
+        seg_names = True
     gen = volgen(vol_names, segs=seg_names, np_var="vol")
     flow = None
 
