@@ -260,3 +260,33 @@ def test_register_hyper_vxm_joint(data, tmp_path):
     assert moved.shape == SHAPE
     assert warp.shape == (*SHAPE, len(SHAPE))
     assert np.isfinite(moved).all() and np.isfinite(warp).all()
+
+
+def test_train_register_2d(data, tmp_path):
+    """The whole CLI path is dimension-generic: 2-D scans train and register
+    (the reference supports 2-D implicitly via ndims-parametrized models)."""
+    import train as train_script
+    import register as register_script
+
+    S2 = (16, 16)
+    grids = np.meshgrid(*[np.arange(s, dtype=float) for s in S2], indexing="ij")
+    files = []
+    for i in range(2):
+        d2 = sum((g - 8 - i) ** 2 for g in grids)
+        path = str(tmp_path / f"flat{i}.npz")
+        np.savez(path, vol=np.exp(-d2 / 20.0).astype(np.float32))
+        files.append(path)
+    lst = tmp_path / "list2d.txt"
+    lst.write_text("\n".join(files) + "\n")
+
+    train_script.main([
+        "--img-list", str(lst), "--model-dir", str(tmp_path / "m2d"),
+        "--int-steps", "2", *TINY, *SHORT,
+    ])
+    moved = str(tmp_path / "moved.npz")
+    warp = str(tmp_path / "warp.npz")
+    register_script.main(["--moving", files[0], "--fixed", files[1],
+                          "--model", str(tmp_path / "m2d" / "0001.npz"),
+                          "--moved", moved, "--warp", warp])
+    assert np.load(moved)["vol"].shape == S2
+    assert np.load(warp)["vol"].shape == (*S2, 2)
