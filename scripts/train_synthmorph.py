@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument('--reg-param', type=float, default=1., help='weight of the flow-gradient smoothness term')
     p.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate')
     p.add_argument('--init-epoch', type=int, default=0, help='epoch to start counting from, e.g. when resuming')
+    p.add_argument('--cache-device', action='store_true',
+                   help='keep the label-map population resident in device HBM '
+                        'and sample pairs by index (recommended on TPU)')
 
     p.add_argument('--int-steps', type=int, default=5, help='scaling-and-squaring steps for the SVF')
     p.add_argument('--enc', type=int, nargs='+', default=[64] * 4, help='encoder feature counts for the registration U-Net')
@@ -61,8 +64,13 @@ def main(argv=None):
     os.makedirs(arg.model_dir, exist_ok=True)
 
     labels_in, label_maps = vxm.py.utils.load_labels(arg.label_dir)
-    gen = vxm.generators.synthmorph(
-        label_maps, batch_size=arg.batch_size, same_subj=arg.same_subj, flip=True)
+    if arg.cache_device:
+        from voxelmorph_tpu.training import device_cached_label_generator
+        gen = device_cached_label_generator(
+            label_maps, batch_size=arg.batch_size, same_subj=arg.same_subj)
+    else:
+        gen = vxm.generators.synthmorph(
+            label_maps, batch_size=arg.batch_size, same_subj=arg.same_subj, flip=True)
     in_shape = label_maps[0].shape
 
     if arg.out_labels.endswith('.npy') and os.path.isfile(arg.out_labels):
@@ -106,6 +114,14 @@ def main(argv=None):
     from voxelmorph_tpu.training import init_or_resume
     arg.init_epoch = init_or_resume(trainer, arg.init_weights, arg.model_dir,
                                     tuple(sample[0]), arg.init_epoch)
+
+    if arg.cache_device and arg.init_epoch:
+        # rebuild the device-cached stream at the resumed position so a
+        # resumed run sees the batch sequence the uninterrupted run would
+        from voxelmorph_tpu.training import device_cached_label_generator
+        gen = device_cached_label_generator(
+            label_maps, batch_size=arg.batch_size, same_subj=arg.same_subj,
+            start_step=arg.init_epoch * arg.steps_per_epoch)
 
     def synth_inputs():
         while True:

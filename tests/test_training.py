@@ -297,3 +297,56 @@ def test_find_latest_checkpoint(tmp_path):
     (tmp_path / "notes.txt").write_bytes(b"x")
     path, epoch = find_latest_checkpoint(str(tmp_path))
     assert epoch == 40 and path.endswith("0040.npz")
+
+
+def test_device_cached_pair_generator_replays_on_resume(tmp_path):
+    """Stateless sampling: a generator started at step k reproduces the
+    batches the uninterrupted stream yields from step k — the resume
+    guarantee of --cache-device."""
+    from voxelmorph_tpu.training import device_cached_pair_generator
+
+    files = []
+    for i in range(3):
+        path = str(tmp_path / f"v{i}.npz")
+        np.savez(path, vol=RNG.random(SHAPE).astype(np.float32))
+        files.append(path)
+
+    g0 = device_cached_pair_generator(files, seed=5)
+    batches = [next(g0) for _ in range(4)]
+    g2 = device_cached_pair_generator(files, seed=5, start_step=2)
+    for expect in batches[2:]:
+        got = next(g2)
+        for a, b in zip(jax.tree_util.tree_leaves(expect),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_cached_label_generator_contract():
+    """Same tuple contract as generators.synthmorph: int label-map pairs +
+    void targets, device-resident, resume-replayable."""
+    from voxelmorph_tpu.training import device_cached_label_generator
+
+    maps = [RNG.integers(0, 4, size=SHAPE).astype(np.int32) for _ in range(3)]
+    g = device_cached_label_generator(maps, seed=3)
+    (src, trg), voids = next(g)
+    assert src.shape == (1, *SHAPE, 1) and trg.shape == (1, *SHAPE, 1)
+    assert np.asarray(src).dtype == np.int32
+    assert len(voids) == 2 and voids[0].shape == (1, *SHAPE, len(SHAPE))
+    # every sampled map is one of the population's (possibly axis-flipped)
+    flat = sorted(np.asarray(src).ravel().tolist())
+    assert any(sorted(m.ravel().tolist()) == flat for m in maps)
+
+    g1 = device_cached_label_generator(maps, seed=3, start_step=1)
+    (s2, t2), _ = next(g)  # step 1 of the original stream
+    (s3, t3), _ = next(g1)
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s3))
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(t3))
+
+
+def test_same_subj_label_generator():
+    from voxelmorph_tpu.training import device_cached_label_generator
+
+    maps = [RNG.integers(0, 4, size=SHAPE).astype(np.int32) for _ in range(4)]
+    g = device_cached_label_generator(maps, same_subj=True, flip=False, seed=1)
+    (src, trg), _ = next(g)
+    np.testing.assert_array_equal(np.asarray(src), np.asarray(trg))

@@ -26,7 +26,7 @@ from .parallel import mesh as mesh_lib
 
 __all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch",
            "find_latest_checkpoint", "init_or_resume", "enable_compile_cache",
-           "device_cached_pair_generator"]
+           "device_cached_pair_generator", "device_cached_label_generator"]
 
 
 class LossTerm:
@@ -205,6 +205,41 @@ def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False
         targets = [trg, src, zeros] if bidir else [trg, zeros]
         step += 1
         yield [src, trg], targets
+
+
+def device_cached_label_generator(label_maps, batch_size: int = 1,
+                                  same_subj: bool = False, flip: bool = True,
+                                  seed: int = 0, start_step: int = 0):
+    """generators.synthmorph over an HBM-resident label-map stack.
+
+    SynthMorph streams only integer label maps per step (images are
+    synthesized on device); caching the whole population in HBM reduces the
+    per-step host traffic to a pair of indices, like
+    device_cached_pair_generator does for image pairs. Random axis flips run
+    on device too. Sampling is stateless per step (rng keyed by
+    (seed, step)) so a resumed run replays the uninterrupted sequence.
+    """
+    import jax.numpy as jnp
+
+    data = jnp.asarray(np.stack(label_maps)[..., None].astype(np.int32))
+    n = data.shape[0]
+    nd = data.ndim - 2
+    void = np.zeros((batch_size, *data.shape[1:-1], nd), "float32")
+
+    step = start_step
+    while True:
+        rng = np.random.default_rng((seed, step))
+        picks = rng.integers(n, size=2 * batch_size)
+        if same_subj:
+            picks[batch_size:] = picks[:batch_size]
+        pair = jnp.take(data, picks, axis=0)
+        if flip:
+            nb_axes = int(rng.integers(nd + 1))
+            axes = rng.choice(nd, size=nb_axes, replace=False, shuffle=False)
+            if nb_axes:
+                pair = jnp.flip(pair, axis=tuple(int(a) + 1 for a in axes))
+        step += 1
+        yield [pair[:batch_size], pair[batch_size:]], [void] * 2
 
 
 class MetricsLogger:
