@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--pairs", default="data_gen/test_pairs.txt")
     p.add_argument("--labels", default="/root/reference/data/labels.npz")
     p.add_argument("--out", default="QUALITY_r02.json")
+    p.add_argument("--hyper", type=float, default=0.5,
+                   help="regularization hyperparameter for HyperVxmJoint "
+                        "models (ignored by others)")
     return p.parse_args(argv)
 
 
@@ -40,7 +43,7 @@ def main(argv=None):
     import numpy as np
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import load_model
-    from voxelmorph_tpu.registration import (build_register_seg_fn,
+    from voxelmorph_tpu.registration import (build_eval_register_fn,
                                              resolve_registration_model)
     from voxelmorph_tpu.training import enable_compile_cache
 
@@ -50,7 +53,7 @@ def main(argv=None):
         labels = labels["labels"]
     pairs = vxm.py.utils.read_pair_list(args.pairs)
     model, params = resolve_registration_model(*load_model(args.model))
-    register = build_register_seg_fn(model)
+    register = build_eval_register_fn(model, hyper=args.hyper)
 
     reg_times, dice_reg, dice_id, folds = [], [], [], []
     per_label = []  # (n_pairs, n_labels) Dice matrix

@@ -25,6 +25,9 @@ def parse_args(argv=None):
     parser.add_argument('--img-prefix', help='string prepended to every image path in the list')
     parser.add_argument('--seg-prefix', help='string prepended to every seg path in the list')
     parser.add_argument('--labels', help='optional label list to compute dice for (npy format)')
+    parser.add_argument('--hyper', type=float, default=0.5,
+                        help='regularization hyperparameter for HyperVxmJoint '
+                             'models (ignored by others)')
     parser.add_argument('--multichannel', action='store_true',
                         help='volumes already carry a trailing channel axis')
     return parser.parse_args(argv)
@@ -38,7 +41,7 @@ def main(argv=None):
     import numpy as np
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import load_model
-    from voxelmorph_tpu.registration import (build_register_seg_fn,
+    from voxelmorph_tpu.registration import (build_eval_register_fn,
                                              resolve_registration_model)
 
     if (args.img_prefix, args.img_suffix) == (args.seg_prefix, args.seg_suffix):
@@ -54,7 +57,7 @@ def main(argv=None):
         path, np_var=var, add_batch_axis=True, add_feat_axis=feat_axis)
 
     model, params = resolve_registration_model(*load_model(args.model))
-    register = build_register_seg_fn(model)
+    register = build_eval_register_fn(model, hyper=args.hyper)
 
     timings, scores = [], []
     for i, ((mov_img, fix_img), (mov_seg, fix_seg)) in enumerate(

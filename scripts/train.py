@@ -179,10 +179,13 @@ def main(argv=None):
     if args.cache_device and args.initial_epoch:
         # rebuild the device-cached stream at the resumed position so a
         # resumed run sees the batch sequence the uninterrupted run would
+        # +1: the shape-probing `sample = next(generator)` of the fresh run
+        # consumed stream step 0, so epoch e trains on steps
+        # e*S+1 .. (e+1)*S; resuming at epoch k must continue from k*S+1
         generator = device_cached_pair_generator(
             train_files, batch_size=args.batch_size, bidir=args.bidir,
             atlas=atlas, add_feat_axis=add_feat_axis,
-            start_step=args.initial_epoch * args.steps_per_epoch)
+            start_step=args.initial_epoch * args.steps_per_epoch + 1)
 
     trainer.fit(generator,
                 epochs=args.epochs,

@@ -48,16 +48,17 @@ def main(argv=None):
 
     train_imgs = vxm.py.utils.read_file_list(args.img_list, prefix=args.img_prefix,
                                              suffix=args.img_suffix)
+    assert len(train_imgs) > 0, 'Could not find any training data.'
     if args.img_prefix == args.seg_prefix and args.img_suffix == args.seg_suffix:
         # same path for image and seg is only meaningful for multi-variable
-        # files carrying both 'vol' and 'seg' (npz); otherwise it's a mistake
-        if not train_imgs[0].endswith(('.npz', '.npy')):
+        # npz files carrying both 'vol' and 'seg'; anything else would
+        # silently train against the image as its own segmentation
+        if not train_imgs[0].endswith('.npz'):
             print('Error: Must provide a differing file suffix and/or prefix '
                   'for images and segs (unless files are npz with vol+seg).')
             sys.exit(1)
     train_segs = vxm.py.utils.read_file_list(args.img_list, prefix=args.seg_prefix,
                                              suffix=args.seg_suffix)
-    assert len(train_imgs) > 0, 'Could not find any training data.'
 
     train_labels = np.load(args.labels)
     generator = vxm.generators.semisupervised(

@@ -119,9 +119,11 @@ def main(argv=None):
         # rebuild the device-cached stream at the resumed position so a
         # resumed run sees the batch sequence the uninterrupted run would
         from voxelmorph_tpu.training import device_cached_label_generator
+        # +1 skips the stream step the fresh run's shape-probing
+        # `sample = next(gen)` consumed (see scripts/train.py)
         gen = device_cached_label_generator(
             label_maps, batch_size=arg.batch_size, same_subj=arg.same_subj,
-            start_step=arg.init_epoch * arg.steps_per_epoch)
+            start_step=arg.init_epoch * arg.steps_per_epoch + 1)
 
     def synth_inputs():
         while True:

@@ -261,6 +261,20 @@ def test_register_hyper_vxm_joint(data, tmp_path):
     assert warp.shape == (*SHAPE, len(SHAPE))
     assert np.isfinite(moved).all() and np.isfinite(warp).all()
 
+    # the Dice-eval runner takes the same checkpoint (fix for the
+    # "any checkpoint drops into the inference CLIs" contract)
+    import json
+    import run_quality_eval as evalr
+    pairs = str(tmp_path / "pairs.txt")
+    with open(pairs, "w") as f:
+        f.write(f"{files[0]} {files[1]}\n{files[1]} {files[2]}\n")
+    out = str(tmp_path / "q.json")
+    evalr.main(["--model", ckpt, "--pairs", pairs,
+                "--labels", str(data / "labels.npy"),
+                "--out", out, "--hyper", "0.3"])
+    report = json.load(open(out))
+    assert report["n_pairs"] == 2 and np.isfinite(report["dice_mean"])
+
 
 def test_train_register_2d(data, tmp_path):
     """The whole CLI path is dimension-generic: 2-D scans train and register

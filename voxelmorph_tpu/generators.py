@@ -134,8 +134,13 @@ def semisupervised(vol_names, seg_names, labels, atlas_file=None, downsize=2):
     inputs [src, trg, src_seg], outputs [trg, zero-warp, trg_seg].
     """
     # seg paths identical to the volume paths means multi-variable files
-    # (npz/npy with 'vol' + 'seg'), like the atlas handling below
-    if isinstance(seg_names, list) and list(seg_names) == list(vol_names):
+    # (npz with 'vol' + 'seg'), like the atlas handling below; only applies
+    # to path lists (volgen also accepts preloaded arrays)
+    def _is_paths(v):
+        return isinstance(v, list) and all(isinstance(x, (str, os.PathLike))
+                                           for x in v)
+    if (_is_paths(seg_names) and _is_paths(vol_names)
+            and list(seg_names) == list(vol_names)):
         seg_names = True
     gen = volgen(vol_names, segs=seg_names, np_var="vol")
     flow = None

@@ -155,9 +155,17 @@ def save_model(path: str, model, params, extra_config: Optional[Dict] = None,
     import os
     final = path if path.endswith(".npz") else path + ".npz"
     tmp = final + ".tmp.npz"
-    np.savez(tmp, __config__=np.frombuffer(encoded.encode(), dtype=np.uint8),
-             **flat)
-    os.replace(tmp, final)
+    try:
+        np.savez(tmp, __config__=np.frombuffer(encoded.encode(), dtype=np.uint8),
+                 **flat)
+        os.replace(tmp, final)
+    except BaseException:
+        # don't leave a full-size partial file behind on failure
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_model(path: str, with_extra: bool = False):

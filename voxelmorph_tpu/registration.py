@@ -17,8 +17,8 @@ import jax.numpy as jnp
 from .ops import warp as warp_ops
 
 __all__ = ["build_register_fn", "build_register_seg_fn",
-           "build_joint_register_fn", "resolve_registration_model",
-           "register_pair"]
+           "build_joint_register_fn", "build_eval_register_fn",
+           "resolve_registration_model", "register_pair"]
 
 
 def resolve_registration_model(model, params):
@@ -82,6 +82,32 @@ def build_joint_register_fn(model):
             lambda im, w: warp_ops.transform(
                 im, w, fill_value=0.0, shift_center=False))(moving, warp)
         return moved, warp
+
+    return _register
+
+
+def build_eval_register_fn(model, hyper: float = 0.5):
+    """Uniform eval entry: fn(params, moving, fixed, moving_seg) ->
+    (moved, warp, moved_seg) for ANY zoo registration model.
+
+    VxmDense-family models use the fused register+seg path; HyperVxmJoint
+    gets its (hyp, im1, im2) calling convention and zero-based-index
+    transform semantics handled here, with ``hyper`` baked in, so test.py
+    and the quality-eval runner work on every checkpoint type.
+    """
+    if type(model).__name__ != "HyperVxmJoint":
+        return build_register_seg_fn(model)
+
+    @jax.jit
+    def _register(params, moving, fixed, moving_seg):
+        hyp = jnp.full((moving.shape[0], 1), hyper, jnp.float32)
+        out = model.apply({"params": params}, hyp, moving, fixed)
+        warp = out["tot_1"]
+        apply = lambda im, interp: jax.vmap(
+            lambda i, w: warp_ops.transform(
+                i, w, interp_method=interp, fill_value=0.0,
+                shift_center=False))(im, warp)
+        return apply(moving, "linear"), warp, apply(moving_seg, "nearest")
 
     return _register
 

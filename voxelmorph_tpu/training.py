@@ -390,28 +390,31 @@ class Trainer:
             self.save(os.path.join(model_dir, save_filename.format(epoch=initial_epoch)),
                       wait=False)
 
-        for epoch in range(initial_epoch, epochs):
-            t0 = time.time()
-            last_metrics = {}
-            for _ in range(steps_per_epoch):
-                inputs, targets = next(gen)
-                last_metrics = self.train_step(inputs, targets)
-            # force a sync to time realistically
-            last_metrics = {k: float(v) for k, v in last_metrics.items()}
-            dt = time.time() - t0
-            msg = " - ".join(f"{k}: {v:.6f}" for k, v in sorted(last_metrics.items()))
-            log_fn(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, "
-                   f"{steps_per_epoch / dt:.2f} steps/s] {msg}")
-            logger.log(epoch + 1, last_metrics, dt)
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                last_metrics = {}
+                for _ in range(steps_per_epoch):
+                    inputs, targets = next(gen)
+                    last_metrics = self.train_step(inputs, targets)
+                # force a sync to time realistically
+                last_metrics = {k: float(v) for k, v in last_metrics.items()}
+                dt = time.time() - t0
+                msg = " - ".join(f"{k}: {v:.6f}" for k, v in sorted(last_metrics.items()))
+                log_fn(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, "
+                       f"{steps_per_epoch / dt:.2f} steps/s] {msg}")
+                logger.log(epoch + 1, last_metrics, dt)
 
-            if model_dir and ((epoch + 1) % save_freq_epochs == 0 or epoch + 1 == epochs):
-                self.save(os.path.join(model_dir, save_filename.format(epoch=epoch + 1)),
-                          wait=False)
-
-        self.wait_for_saves()
-        logger.close()
-        if profile_dir:
-            jax.profiler.stop_trace()
+                if model_dir and ((epoch + 1) % save_freq_epochs == 0 or epoch + 1 == epochs):
+                    self.save(os.path.join(model_dir, save_filename.format(epoch=epoch + 1)),
+                              wait=False)
+            self.wait_for_saves()
+        finally:
+            # close observability cleanly even when a step or a background
+            # save raises (a still-running profiler trace corrupts itself)
+            logger.close()
+            if profile_dir:
+                jax.profiler.stop_trace()
         return last_metrics
 
     def save(self, path: str, wait: bool = True):
