@@ -304,3 +304,29 @@ def test_train_register_2d(data, tmp_path):
                           "--moved", moved, "--warp", warp])
     assert np.load(moved)["vol"].shape == S2
     assert np.load(warp)["vol"].shape == (*S2, 2)
+
+
+def test_sweep_hypermorph(data, tmp_path):
+    """Train a tiny HyperMorph, then sweep Dice over lambda with one compile."""
+    import json
+    import train_hypermorph as train_script
+    import sweep_hypermorph as sweep_script
+
+    train_script.main([
+        "--img-list", str(data / "list.txt"),
+        "--model-dir", str(tmp_path / "m"),
+        "--int-steps", "2", *TINY, *SHORT,
+    ])
+    files = vxm.py.utils.read_file_list(str(data / "list.txt"))
+    pairs = str(tmp_path / "pairs.txt")
+    with open(pairs, "w") as f:
+        f.write(f"{files[0]} {files[1]}\n")
+    labels_npz = str(tmp_path / "labels.npz")
+    np.savez(labels_npz, labels=np.array([1, 2]))
+    out = str(tmp_path / "sweep.json")
+    sweep_script.main(["--model", str(tmp_path / "m" / "0001.npz"),
+                       "--pairs", pairs, "--labels", labels_npz,
+                       "--lambdas", "0.1", "0.9", "--out", out])
+    report = json.load(open(out))
+    assert [r["lambda"] for r in report["sweep"]] == [0.1, 0.9]
+    assert all(0.0 <= r["dice_mean"] <= 1.0 for r in report["sweep"])
