@@ -36,6 +36,9 @@ def parse_args(argv=None):
     parser.add_argument('--image-loss', default='mse', help='mse or ncc')
     parser.add_argument('--grad-loss-weight', type=float, default=0.01)
     parser.add_argument('--dice-loss-weight', type=float, default=0.01)
+    parser.add_argument('--cache-device', action='store_true',
+                        help='keep volumes + integer segs resident in device '
+                             'HBM; one-hot encoding runs on device per step')
     return parser.parse_args(argv)
 
 
@@ -61,8 +64,18 @@ def main(argv=None):
                                              suffix=args.seg_suffix)
 
     train_labels = np.load(args.labels)
-    generator = vxm.generators.semisupervised(
-        train_imgs, train_segs, labels=train_labels, atlas_file=args.atlas)
+    if args.cache_device:
+        if args.atlas or train_segs != train_imgs:
+            print('Error: --cache-device currently requires scan-to-scan '
+                  'training with vol+seg npz files.')
+            sys.exit(1)
+        from voxelmorph_tpu.training import (
+            device_cached_semisupervised_generator)
+        generator = device_cached_semisupervised_generator(
+            train_imgs, labels=train_labels)
+    else:
+        generator = vxm.generators.semisupervised(
+            train_imgs, train_segs, labels=train_labels, atlas_file=args.atlas)
     sample = next(generator)
     inshape = sample[0][0].shape[1:-1]
 
@@ -97,6 +110,13 @@ def main(argv=None):
     from voxelmorph_tpu.training import init_or_resume
     args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
                                         tuple(sample[0]), args.initial_epoch)
+
+    if args.cache_device and args.initial_epoch:
+        # restart the stateless stream just past the shape-probing sample
+        # (see scripts/train.py) so resumes replay the uninterrupted sequence
+        generator = device_cached_semisupervised_generator(
+            train_imgs, labels=train_labels,
+            start_step=args.initial_epoch * args.steps_per_epoch + 1)
 
     trainer.fit(generator, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
                 initial_epoch=args.initial_epoch, model_dir=args.model_dir,

@@ -350,3 +350,36 @@ def test_same_subj_label_generator():
     g = device_cached_label_generator(maps, same_subj=True, flip=False, seed=1)
     (src, trg), _ = next(g)
     np.testing.assert_array_equal(np.asarray(src), np.asarray(trg))
+
+
+def test_device_cached_semisupervised_generator(tmp_path):
+    """HBM-resident semisupervised stream: volumes + one-hot downsampled segs
+    match what generators.semisupervised produces from the same files."""
+    from voxelmorph_tpu.training import device_cached_semisupervised_generator
+
+    files = []
+    for i in range(3):
+        path = str(tmp_path / f"v{i}.npz")
+        np.savez(path, vol=RNG.random(SHAPE).astype(np.float32),
+                 seg=RNG.integers(0, 3, size=SHAPE).astype(np.int32))
+        files.append(path)
+    labels = np.array([1, 2])
+
+    g = device_cached_semisupervised_generator(files, labels, seed=4)
+    (src, trg, src_seg), (t0, flow, trg_seg) = next(g)
+    half = tuple(s // 2 for s in SHAPE)
+    assert src.shape == (1, *SHAPE, 1)
+    assert src_seg.shape == (1, *half, 2)
+    assert flow.shape == (1, *SHAPE, len(SHAPE))
+    np.testing.assert_array_equal(np.asarray(trg), np.asarray(t0))
+    # one-hot correctness: channels sum to 1 exactly where seg is in labels
+    s = np.asarray(src_seg)
+    assert set(np.unique(s)) <= {0.0, 1.0}
+    # find which file src came from and verify the encoding
+    vols = [np.load(f)["vol"] for f in files]
+    idx = next(i for i, v in enumerate(vols)
+               if np.allclose(v, np.asarray(src)[0, ..., 0]))
+    seg = np.load(files[idx])["seg"][::2, ::2, ::2]
+    np.testing.assert_array_equal(
+        s[0].argmax(-1) * s[0].max(-1) + 1 * 0,  # argmax only where any label
+        np.where(np.isin(seg, labels), np.searchsorted(labels, seg), 0))

@@ -26,7 +26,8 @@ from .parallel import mesh as mesh_lib
 
 __all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch",
            "find_latest_checkpoint", "init_or_resume", "enable_compile_cache",
-           "device_cached_pair_generator", "device_cached_label_generator"]
+           "device_cached_pair_generator", "device_cached_label_generator",
+           "device_cached_semisupervised_generator"]
 
 
 class LossTerm:
@@ -205,6 +206,52 @@ def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False
         targets = [trg, src, zeros] if bidir else [trg, zeros]
         step += 1
         yield [src, trg], targets
+
+
+def device_cached_semisupervised_generator(files, labels, downsize: int = 2,
+                                           batch_size: int = 1, seed: int = 0,
+                                           start_step: int = 0):
+    """generators.semisupervised over an HBM-resident dataset.
+
+    Host-streaming this workload is brutal on a tunneled accelerator: each
+    step would move two volumes PLUS two one-hot probability segmentations
+    (~N_labels x volume bytes). Instead the volumes and the *integer* segs
+    live in HBM and the one-hot encode + stride-downsample run on device per
+    step (a cheap compare-broadcast), so the host again sends only indices.
+    Contract and sampling statelessness match the other cached generators.
+    """
+    import jax.numpy as jnp
+    from .py import utils as py_utils
+
+    vols, segs = [], []
+    for f in files:
+        vols.append(py_utils.load_volfile(f, np_var="vol", add_batch_axis=True,
+                                          add_feat_axis=True))
+        segs.append(py_utils.load_volfile(f, np_var="seg", add_batch_axis=True,
+                                          add_feat_axis=False))
+    data = jnp.concatenate([jnp.asarray(v, jnp.float32) for v in vols], axis=0)
+    seg_data = jnp.concatenate([jnp.asarray(s, jnp.int16) for s in segs], axis=0)
+    labels_dev = jnp.asarray(np.asarray(labels), jnp.int16)
+    n = data.shape[0]
+    spatial = data.shape[1:-1]
+    nd = len(spatial)
+    zeros = jnp.zeros((batch_size, *spatial, nd), jnp.float32)
+
+    @jax.jit
+    def _one_hot(seg):
+        sl = (slice(None),) + (slice(None, None, downsize),) * nd
+        return (seg[sl][..., None] == labels_dev).astype(jnp.float32)
+
+    step = start_step
+    while True:
+        rng = np.random.default_rng((seed, step))
+        idx = rng.integers(n, size=2 * batch_size)
+        src = jnp.take(data, idx[:batch_size], axis=0)
+        trg = jnp.take(data, idx[batch_size:], axis=0)
+        src_seg = _one_hot(jnp.take(seg_data, idx[:batch_size], axis=0))
+        trg_seg = _one_hot(jnp.take(seg_data, idx[batch_size:], axis=0))
+        step += 1
+        yield [src, trg, src_seg], [trg, zeros, trg_seg]
 
 
 def device_cached_label_generator(label_maps, batch_size: int = 1,
