@@ -63,6 +63,34 @@ def pallas_available() -> bool:
         return False
 
 
+def kernel_vmem_fits(spatial, nch: int, halo: int) -> bool:
+    """Conservative check that the fwd AND vjp kernels fit scoped VMEM.
+
+    Mosaic double-buffers every grid block and the TPU scoped-vmem limit is
+    16 MB. The channel count multiplies both the input window and the output
+    block, so many-channel volumes — e.g. SynthMorph's ~45-channel one-hot
+    label maps — cannot run this kernel even at tz=1 and must take the XLA
+    shifted-slice path instead. Footprints are modeled at tz=1 (the smallest
+    slab the pickers can choose) and gated at 10 MB: calibrated against a
+    measured failure (45ch x 80x96x112, halo 1: model 12.9 MB, actual
+    17.9 MB > 16 MB limit — the model under-counts Mosaic stack overhead by
+    ~1.4x, and 10 MB keeps the real footprint safely under 16 MB).
+    """
+    if len(spatial) != 3:
+        return False
+    _, H, W = (int(s) for s in spatial)
+    p, tz = int(halo), 1
+    n_off = 2 * p + 1
+    hwp = (H + 2 * p) * (W + 2 * p) * 4
+    hw = H * W * 4
+    win_z = tz + 2 * p
+    fwd = (2 * (nch * win_z * hwp + 3 * tz * hw + nch * tz * hw)
+           + tz * hw * (n_off ** 2 + 8))
+    bwd = (2 * ((2 * nch + 3) * win_z * hwp + nch * tz * hw + 3 * tz * hw)
+           + tz * hw * (n_off ** 2 + 2 * nch + 10))
+    return max(fwd, bwd) <= 10 * 1024 * 1024
+
+
 def _pick_tz(d: int, h: int, hw_bytes: int, nch: int, budget=6 * 1024 * 1024):
     """Choose the z-slab size: as large as fits the VMEM budget and divides
     reasonably; the grid covers D with ceil-division and a masked tail.

@@ -107,7 +107,9 @@ def _windowed_impl(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> jnp.n
     if (loc_shift.shape[-1] == 3
             and os.environ.get("VXM_PALLAS", "1") != "0"):
         from . import pallas_interp
-        if pallas_interp.pallas_available():
+        if (pallas_interp.pallas_available()
+                and pallas_interp.kernel_vmem_fits(
+                    vol.shape[:-1], vol.shape[-1], halo)):
             return pallas_interp.warp_bounded(vol, loc_shift, halo)
     return windowed_transform(vol, loc_shift, halo)
 
