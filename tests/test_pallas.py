@@ -95,3 +95,16 @@ def test_pallas_warp_vmap():
     ref = np.asarray(jax.vmap(
         lambda v, s: W.transform(v, s, window_halo=None))(vols, shifts))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_vmem_eligibility():
+    """The dispatcher must exclude shapes whose kernel would blow the 16 MB
+    scoped-VMEM limit (measured: 45-channel one-hot maps at SynthMorph's
+    half-res) while keeping the configurations the bench measured wins on."""
+    from voxelmorph_tpu.ops.pallas_interp import kernel_vmem_fits
+
+    assert not kernel_vmem_fits((80, 96, 112), 45, 1)  # crashed in the wild
+    assert kernel_vmem_fits((80, 96, 112), 1, 1)
+    assert kernel_vmem_fits((80, 96, 112), 3, 1)       # bench A/B config
+    assert kernel_vmem_fits((160, 192, 224), 1, 1)
+    assert not kernel_vmem_fits((8, 8), 1, 1)          # 3-D only
