@@ -383,3 +383,35 @@ def test_device_cached_semisupervised_generator(tmp_path):
     np.testing.assert_array_equal(
         s[0].argmax(-1) * s[0].max(-1) + 1 * 0,  # argmax only where any label
         np.where(np.isin(seg, labels), np.searchsorted(labels, seg), 0))
+
+
+def test_async_save_survives_buffer_donation(tmp_path):
+    """The train step donates params/state/opt_state buffers; a background
+    save that kept the live references would crash (deleted arrays) once the
+    next step runs. The writer must snapshot device copies: stepping
+    immediately after save(wait=False) still yields a loadable checkpoint
+    holding the PRE-step values. (Regression: epoch-25 checkpoint of a live
+    run was silently lost this way.)"""
+    from voxelmorph_tpu.models import modelio
+
+    trainer = Trainer(_model(), _terms(), lr=1e-2, seed=11)
+    inputs, targets = _batch()
+    trainer.init(inputs)
+    trainer.train_step(inputs, targets)
+    expect = jax.device_get(trainer.params)
+    live = (trainer.params, trainer.state, trainer.opt_state)
+
+    path = str(tmp_path / "async.npz")
+    trainer.save(path, wait=False)
+    # emulate the donation: the TPU train step invalidates the live buffers
+    # (CPU jit doesn't donate, so delete them explicitly and immediately —
+    # a writer holding these refs instead of copies dies here)
+    for leaf in jax.tree_util.tree_leaves(live):
+        leaf.delete()
+    trainer.wait_for_saves()  # must NOT raise
+
+    _, loaded, extra = modelio.load_model(path, with_extra=True)
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(a, b)
+    assert int(extra["train"]["step"]) == 1

@@ -455,6 +455,10 @@ class Trainer:
                 if model_dir and ((epoch + 1) % save_freq_epochs == 0 or epoch + 1 == epochs):
                     self.save(os.path.join(model_dir, save_filename.format(epoch=epoch + 1)),
                               wait=False)
+                elif getattr(self, "_save_error", None) is not None:
+                    # a background write failed since the last save: fail the
+                    # run NOW, not tens of epochs later at the next join
+                    self.wait_for_saves()
             self.wait_for_saves()
         finally:
             # close observability cleanly even when a step or a background
@@ -474,15 +478,25 @@ class Trainer:
         identical to an uninterrupted one.
 
         With ``wait=False`` the device→host transfer and file write run in a
-        background thread so the train loop keeps dispatching steps. This is
-        safe without copies: jax arrays are immutable, so snapshotting the
-        pytree references here pins this step's buffers regardless of how far
-        training advances. At most one save is in flight — a new one first
-        joins the previous — and the file lands atomically (modelio).
+        background thread so the train loop keeps dispatching steps. The
+        train step DONATES params/state/opt_state buffers, so the writer
+        cannot hold the live references (the next step invalidates them);
+        instead one jitted call snapshots device-side copies (HBM-bandwidth
+        fast, a single dispatch) and the thread transfers those. At most one
+        save is in flight — a new one first joins the previous — and the
+        file lands atomically (modelio).
         """
         self.wait_for_saves()
         params, state, opt_state = self.params, self.state, self.opt_state
         step, base_rng = self.global_step, self.base_rng
+        if not wait:
+            if not hasattr(self, "_snapshot_fn"):
+                # x + 0 (not identity) so XLA materializes fresh buffers —
+                # a passthrough jit would alias the soon-donated inputs
+                self._snapshot_fn = jax.jit(lambda t: jax.tree_util.tree_map(
+                    lambda x: x + 0, t))
+            params, state, opt_state = self._snapshot_fn(
+                (params, state, opt_state))
 
         def _write():
             extra = {}
