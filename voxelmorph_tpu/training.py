@@ -491,10 +491,11 @@ class Trainer:
         step, base_rng = self.global_step, self.base_rng
         if not wait:
             if not hasattr(self, "_snapshot_fn"):
-                # x + 0 (not identity) so XLA materializes fresh buffers —
-                # a passthrough jit would alias the soon-donated inputs
+                # explicit copies (not identity) so XLA materializes fresh
+                # buffers — a passthrough jit would alias the soon-donated
+                # inputs; jnp.copy preserves every leaf dtype
                 self._snapshot_fn = jax.jit(lambda t: jax.tree_util.tree_map(
-                    lambda x: x + 0, t))
+                    jnp.copy, t))
             params, state, opt_state = self._snapshot_fn(
                 (params, state, opt_state))
 
