@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument('--save-freq', type=int, default=20, help='checkpoint-writing period, in epochs')
     p.add_argument('--reg-param', type=float, default=1., help='weight of the flow-gradient smoothness term')
     p.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate')
+    p.add_argument('--clip-grad', type=float,
+                   help='optional global-norm gradient clip (stabilizes '
+                        'learning rates above the reference default)')
     p.add_argument('--init-epoch', type=int, default=0, help='epoch to start counting from, e.g. when resuming')
     p.add_argument('--cache-device', action='store_true',
                    help='keep the label-map population resident in device HBM '
@@ -108,7 +111,8 @@ def main(argv=None):
                  target_output_key='pos_flow', name='grad'),
     ]
 
-    trainer = Trainer(model, terms, lr=arg.lr, rng_names=('synth',))
+    trainer = Trainer(model, terms, lr=arg.lr, rng_names=('synth',),
+                      clip_norm=arg.clip_grad)
 
     sample = next(gen)
     from voxelmorph_tpu.training import init_or_resume

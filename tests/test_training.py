@@ -415,3 +415,20 @@ def test_async_save_survives_buffer_donation(tmp_path):
                     jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_array_equal(a, b)
     assert int(extra["train"]["step"]) == 1
+
+
+def test_clip_norm_bounds_update():
+    """clip_norm caps the global gradient norm: with an absurd lr and a tight
+    clip, one step moves params by at most lr * clip (Adam scale)."""
+    inputs, targets = _batch()
+    t = Trainer(_model(), _terms(), lr=1e-3, seed=2, clip_norm=1e-6)
+    t.init(inputs)
+    before = jax.device_get(t.params)
+    t.train_step(inputs, targets)
+    after = jax.device_get(t.params)
+    deltas = [float(np.max(np.abs(a - b))) for a, b in
+              zip(jax.tree_util.tree_leaves(before),
+                  jax.tree_util.tree_leaves(after))]
+    # adam normalizes, but a clipped-to-~0 gradient keeps m/sqrt(v) finite
+    # and the update bounded well below the unclipped lr-scale step
+    assert max(deltas) < 1e-3

@@ -349,11 +349,17 @@ class Trainer:
     def __init__(self, model, loss_terms: Sequence[LossTerm], lr: float = 1e-4,
                  mesh=None, needs_sample_rng: bool = False, seed: int = 0,
                  spatial_shard: bool = False, tx=None,
-                 rng_names: Sequence[str] = ()):
+                 rng_names: Sequence[str] = (), clip_norm: Optional[float] = None):
         enable_compile_cache()
         self.model = model
         self.loss_terms = list(loss_terms)
-        self.tx = tx if tx is not None else optax.adam(lr)
+        if tx is None:
+            tx = optax.adam(lr)
+            if clip_norm is not None:
+                # global-norm clipping stabilizes the high-lr regimes some
+                # workloads need (e.g. SynthMorph on small populations)
+                tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+        self.tx = tx
         self.mesh = mesh  # lazily built from the first batch if None
         self.rng_names = list(rng_names) or (["sample"] if needs_sample_rng else [])
         self.needs_sample_rng = bool(self.rng_names)
