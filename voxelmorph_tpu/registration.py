@@ -8,9 +8,6 @@ and the moved image in one device round trip, with an optional extra image
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
