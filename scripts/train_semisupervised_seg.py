@@ -34,6 +34,8 @@ def parse_args(argv=None):
     parser.add_argument('--int-steps', type=int, default=7)
     parser.add_argument('--int-downsize', type=int, default=2)
     parser.add_argument('--image-loss', default='mse', help='mse or ncc')
+    parser.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
+                        help='U-Net compute dtype (bfloat16 halves activation HBM)')
     parser.add_argument('--grad-loss-weight', type=float, default=0.01)
     parser.add_argument('--dice-loss-weight', type=float, default=0.01)
     parser.add_argument('--cache-device', action='store_true',
@@ -82,12 +84,14 @@ def main(argv=None):
     enc_nf = args.enc if args.enc else [16, 32, 32, 32]
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
+    import jax.numpy as jnp
     model = VxmDenseSemiSupervisedSeg(
         inshape=tuple(inshape),
         nb_unet_features=[enc_nf, dec_nf],
         nb_labels=len(train_labels),
         int_steps=args.int_steps,
         int_resolution=args.int_downsize,
+        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
     )
 
     if args.image_loss == 'ncc':
