@@ -33,6 +33,8 @@ def parse_args(argv=None):
     parser.add_argument('--enc', type=int, nargs='+')
     parser.add_argument('--dec', type=int, nargs='+')
     parser.add_argument('--image-loss', default='ncc', help='mse or ncc')
+    parser.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
+                        help='U-Net compute dtype (bfloat16 halves activation HBM)')
     parser.add_argument('--image-loss-weight', type=float, default=1.0)
     parser.add_argument('--mean-loss-weight', type=float, default=1.0)
     parser.add_argument('--grad-loss-weight', type=float, default=1.0)
@@ -75,6 +77,7 @@ def main(argv=None):
     enc_nf = args.enc if args.enc else [16, 32, 32, 32]
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
+    import jax.numpy as jnp
     model = ConditionalTemplateCreation(
         inshape=tuple(inshape),
         pheno_input_shape=tuple(pheno_shape),
@@ -82,6 +85,7 @@ def main(argv=None):
         conv_nb_features=4,
         extra_conv_layers=3,
         src_feats=nfeats,
+        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
     )
 
     if args.image_loss == 'ncc':

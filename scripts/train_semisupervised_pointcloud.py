@@ -43,6 +43,8 @@ def parse_args(argv=None):
     parser.add_argument('--num-labels', type=int, help='number of labels to sample')
     parser.add_argument('--align-segs', action='store_true')
     parser.add_argument('--image-loss', default='mse', help='mse or ncc')
+    parser.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
+                        help='U-Net compute dtype (bfloat16 halves activation HBM)')
     parser.add_argument('--lambda', type=float, dest='lambda_weight', default=0.01)
     parser.add_argument('--dt-sigma', type=float, default=1.0)
     parser.add_argument('--kl-lambda', type=float, default=10)
@@ -91,7 +93,9 @@ def main(argv=None):
     enc_nf = args.enc if args.enc else [16, 32, 32, 32]
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
+    import jax.numpy as jnp
     model = VxmDenseSemiSupervisedPointCloud(
+        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
         inshape=tuple(inshape),
         nb_unet_features=[enc_nf, dec_nf],
         nb_surface_points=args.surf_points,

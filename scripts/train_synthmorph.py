@@ -41,6 +41,8 @@ def parse_args(argv=None):
     p.add_argument('--save-freq', type=int, default=20, help='checkpoint-writing period, in epochs')
     p.add_argument('--reg-param', type=float, default=1., help='weight of the flow-gradient smoothness term')
     p.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate')
+    p.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
+                   help='U-Net compute dtype (bfloat16 halves activation HBM)')
     p.add_argument('--clip-grad', type=float,
                    help='optional global-norm gradient clip (stabilizes '
                         'learning rates above the reference default)')
@@ -94,12 +96,14 @@ def main(argv=None):
         gamma_std=arg.gamma,
     )
 
+    import jax.numpy as jnp
     model = SynthMorphDense(
         cfg=cfg,
         nb_unet_features=(arg.enc, arg.dec),
         int_steps=arg.int_steps,
         int_resolution=2,
         svf_resolution=2,
+        dtype=jnp.bfloat16 if arg.dtype == 'bfloat16' else jnp.float32,
     )
 
     dice = vxm.losses.Dice()

@@ -30,6 +30,8 @@ def parse_args(argv=None):
     parser.add_argument('--load-weights', help="checkpoint to start from; 'latest' resumes from model-dir")
     parser.add_argument('--initial-epoch', type=int, default=0)
     parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
+                        help='U-Net compute dtype (bfloat16 halves activation HBM)')
     parser.add_argument('--enc', type=int, nargs='+')
     parser.add_argument('--dec', type=int, nargs='+')
     parser.add_argument('--no-warp-atlas', action='store_true')
@@ -69,7 +71,9 @@ def main(argv=None):
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
     warp_atlas = not args.no_warp_atlas
+    import jax.numpy as jnp
     model = ProbAtlasSegmentation(
+        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
         inshape=tuple(inshape),
         nb_unet_features=[enc_nf, dec_nf],
         nb_labels=nb_labels,
