@@ -47,7 +47,7 @@ def main(argv=None):
 
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import ConditionalTemplateCreation
-    from voxelmorph_tpu.training import LossTerm, Trainer
+    from voxelmorph_tpu.training import resolve_dtype, LossTerm, Trainer
 
     train_files = vxm.py.utils.read_file_list(args.img_list, prefix=args.img_prefix,
                                               suffix=args.img_suffix)
@@ -77,7 +77,6 @@ def main(argv=None):
     enc_nf = args.enc if args.enc else [16, 32, 32, 32]
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
-    import jax.numpy as jnp
     model = ConditionalTemplateCreation(
         inshape=tuple(inshape),
         pheno_input_shape=tuple(pheno_shape),
@@ -85,7 +84,7 @@ def main(argv=None):
         conv_nb_features=4,
         extra_conv_layers=3,
         src_feats=nfeats,
-        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
+        dtype=resolve_dtype(args.dtype),
     )
 
     if args.image_loss == 'ncc':

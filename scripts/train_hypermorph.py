@@ -32,6 +32,8 @@ def parse_args(argv=None):
     parser.add_argument('--load-weights', help="checkpoint to start from; 'latest' resumes from model-dir")
     parser.add_argument('--initial-epoch', type=int, default=0)
     parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
+                        help='U-Net compute dtype (bfloat16 halves activation HBM)')
     parser.add_argument('--enc', type=int, nargs='+')
     parser.add_argument('--dec', type=int, nargs='+')
     parser.add_argument('--int-steps', type=int, default=7)
@@ -49,7 +51,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import HyperVxmDense
-    from voxelmorph_tpu.training import LossTerm, Trainer
+    from voxelmorph_tpu.training import resolve_dtype, LossTerm, Trainer
 
     train_files = vxm.py.utils.read_file_list(args.img_list, prefix=args.img_prefix,
                                               suffix=args.img_suffix)
@@ -91,6 +93,7 @@ def main(argv=None):
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
     model = HyperVxmDense(
+        dtype=resolve_dtype(args.dtype),
         inshape=tuple(inshape),
         nb_unet_features=[enc_nf, dec_nf],
         int_steps=args.int_steps,

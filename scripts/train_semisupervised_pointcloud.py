@@ -57,7 +57,7 @@ def main(argv=None):
 
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import VxmDenseSemiSupervisedPointCloud
-    from voxelmorph_tpu.training import LossTerm, Trainer
+    from voxelmorph_tpu.training import resolve_dtype, LossTerm, Trainer
 
     train_files = vxm.py.utils.read_file_list(args.img_list, prefix=args.img_prefix,
                                               suffix=args.img_suffix)
@@ -93,9 +93,8 @@ def main(argv=None):
     enc_nf = args.enc if args.enc else [16, 32, 32, 32]
     dec_nf = args.dec if args.dec else [32, 32, 32, 32, 32, 16, 16]
 
-    import jax.numpy as jnp
     model = VxmDenseSemiSupervisedPointCloud(
-        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
+        dtype=resolve_dtype(args.dtype),
         inshape=tuple(inshape),
         nb_unet_features=[enc_nf, dec_nf],
         nb_surface_points=args.surf_points,

@@ -62,7 +62,7 @@ def main(argv=None):
 
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import LabelsToImageConfig, SynthMorphDense
-    from voxelmorph_tpu.training import LossTerm, Trainer
+    from voxelmorph_tpu.training import resolve_dtype, LossTerm, Trainer
 
     if arg.sub_dir:
         arg.model_dir = os.path.join(arg.model_dir, arg.sub_dir)
@@ -96,14 +96,13 @@ def main(argv=None):
         gamma_std=arg.gamma,
     )
 
-    import jax.numpy as jnp
     model = SynthMorphDense(
         cfg=cfg,
         nb_unet_features=(arg.enc, arg.dec),
         int_steps=arg.int_steps,
         int_resolution=2,
         svf_resolution=2,
-        dtype=jnp.bfloat16 if arg.dtype == 'bfloat16' else jnp.float32,
+        dtype=resolve_dtype(arg.dtype),
     )
 
     dice = vxm.losses.Dice()

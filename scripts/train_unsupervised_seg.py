@@ -44,10 +44,9 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
-    import jax.numpy as jnp
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import ProbAtlasSegmentation
-    from voxelmorph_tpu.training import LossTerm, Trainer
+    from voxelmorph_tpu.training import resolve_dtype, LossTerm, Trainer
 
     # load prob atlas: (1, *shape, nb_labels)
     atlas = vxm.py.utils.load_volfile(args.atlas, np_var='vol', add_batch_axis=True)
@@ -73,7 +72,7 @@ def main(argv=None):
     warp_atlas = not args.no_warp_atlas
     import jax.numpy as jnp
     model = ProbAtlasSegmentation(
-        dtype=jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32,
+        dtype=resolve_dtype(args.dtype),
         inshape=tuple(inshape),
         nb_unet_features=[enc_nf, dec_nf],
         nb_labels=nb_labels,

@@ -417,18 +417,32 @@ def test_async_save_survives_buffer_donation(tmp_path):
     assert int(extra["train"]["step"]) == 1
 
 
-def test_clip_norm_bounds_update():
-    """clip_norm caps the global gradient norm: with an absurd lr and a tight
-    clip, one step moves params by at most lr * clip (Adam scale)."""
-    inputs, targets = _batch()
-    t = Trainer(_model(), _terms(), lr=1e-3, seed=2, clip_norm=1e-6)
-    t.init(inputs)
-    before = jax.device_get(t.params)
-    t.train_step(inputs, targets)
-    after = jax.device_get(t.params)
-    deltas = [float(np.max(np.abs(a - b))) for a, b in
-              zip(jax.tree_util.tree_leaves(before),
-                  jax.tree_util.tree_leaves(after))]
-    # adam normalizes, but a clipped-to-~0 gradient keeps m/sqrt(v) finite
-    # and the update bounded well below the unclipped lr-scale step
-    assert max(deltas) < 1e-3
+def test_clip_norm_caps_gradient_spikes():
+    """Adam alone is scale-invariant, so clipping's observable effect is on
+    SEQUENCES: after a 1e4-norm gradient spike, an unclipped Adam's second
+    moment suppresses the next normal-sized step, while a clipped chain
+    (spike capped to norm 1) keeps stepping at ~lr. Drive both transforms
+    on the same [small, spike, small] gradient sequence and compare the
+    final step size. Also: clip_norm with a custom tx must raise, not be
+    silently dropped."""
+    import jax.numpy as jnp
+    import optax
+
+    params = {"w": jnp.zeros(4)}
+    g_small = {"w": jnp.full(4, 1e-2)}
+    g_spike = {"w": jnp.full(4, 1e4)}
+
+    def post_spike_step(tx, n_recover=50):
+        state = tx.init(params)
+        updates, state = tx.update(g_small, state, params)
+        updates, state = tx.update(g_spike, state, params)
+        for _ in range(n_recover):
+            updates, state = tx.update(g_small, state, params)
+        return float(jnp.max(jnp.abs(updates["w"])))
+
+    t = Trainer(_model(), _terms(), lr=1e-3, clip_norm=1.0)
+    unclipped = optax.adam(1e-3)
+    assert post_spike_step(t.tx) > 10 * post_spike_step(unclipped)
+
+    with pytest.raises(ValueError, match="clip_norm"):
+        Trainer(_model(), _terms(), tx=optax.adam(1e-3), clip_norm=1.0)

@@ -26,6 +26,7 @@ from .parallel import mesh as mesh_lib
 
 __all__ = ["LossTerm", "make_train_step", "Trainer", "prefetch",
            "find_latest_checkpoint", "init_or_resume", "enable_compile_cache",
+           "resolve_dtype",
            "device_cached_pair_generator", "device_cached_label_generator",
            "device_cached_semisupervised_generator"]
 
@@ -225,13 +226,23 @@ def device_cached_semisupervised_generator(files, labels, downsize: int = 2,
 
     vols, segs = [], []
     for f in files:
-        vols.append(py_utils.load_volfile(f, np_var="vol", add_batch_axis=True,
-                                          add_feat_axis=True))
-        segs.append(py_utils.load_volfile(f, np_var="seg", add_batch_axis=True,
-                                          add_feat_axis=False))
-    data = jnp.concatenate([jnp.asarray(v, jnp.float32) for v in vols], axis=0)
-    seg_data = jnp.concatenate([jnp.asarray(s, jnp.int16) for s in segs], axis=0)
-    labels_dev = jnp.asarray(np.asarray(labels), jnp.int16)
+        if str(f).endswith(".npz"):
+            # one open per file: npz archives carry both variables
+            with np.load(f) as d:
+                vols.append(np.asarray(d["vol"], np.float32)[None, ..., None])
+                segs.append(np.asarray(d["seg"])[None])
+        else:
+            vols.append(py_utils.load_volfile(
+                f, np_var="vol", add_batch_axis=True, add_feat_axis=True))
+            segs.append(py_utils.load_volfile(
+                f, np_var="seg", add_batch_axis=True, add_feat_axis=False))
+    # int16 halves the resident seg bytes but wraps IDs > 32767 — pick the
+    # narrowest dtype that actually holds this dataset's labels
+    seg_max = max(max(int(s.max()) for s in segs), int(np.max(labels)))
+    seg_dtype = jnp.int16 if seg_max <= np.iinfo(np.int16).max else jnp.int32
+    data = jnp.concatenate([jnp.asarray(v) for v in vols], axis=0)
+    seg_data = jnp.concatenate([jnp.asarray(s, seg_dtype) for s in segs], axis=0)
+    labels_dev = jnp.asarray(np.asarray(labels), seg_dtype)
     n = data.shape[0]
     spatial = data.shape[1:-1]
     nd = len(spatial)
@@ -320,6 +331,11 @@ class MetricsLogger:
             self._file = None
 
 
+def resolve_dtype(name: str):
+    """Map a --dtype CLI string to the jnp compute dtype."""
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
 def enable_compile_cache():
     """Turn on JAX's persistent compilation cache (idempotent).
 
@@ -359,6 +375,10 @@ class Trainer:
                 # global-norm clipping stabilizes the high-lr regimes some
                 # workloads need (e.g. SynthMorph on small populations)
                 tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+        elif clip_norm is not None:
+            raise ValueError(
+                "clip_norm only applies to the default optimizer; chain "
+                "optax.clip_by_global_norm into your custom tx instead")
         self.tx = tx
         self.mesh = mesh  # lazily built from the first batch if None
         self.rng_names = list(rng_names) or (["sample"] if needs_sample_rng else [])
