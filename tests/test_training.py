@@ -446,3 +446,28 @@ def test_clip_norm_caps_gradient_spikes():
 
     with pytest.raises(ValueError, match="clip_norm"):
         Trainer(_model(), _terms(), tx=optax.adam(1e-3), clip_norm=1.0)
+
+
+def test_semisupervised_registration_extraction(tmp_path):
+    """Semi-supervised checkpoints drop into the inference CLIs: the inner
+    VxmDense extracts with a matching param structure and registers plain
+    image pairs (no seg input)."""
+    from voxelmorph_tpu.models import VxmDenseSemiSupervisedSeg, save_model, load_model
+    from voxelmorph_tpu.registration import resolve_registration_model
+
+    model = VxmDenseSemiSupervisedSeg(
+        inshape=SHAPE, nb_labels=2, nb_unet_features=[[4], [4, 4]], int_steps=1)
+    src = RNG.random((1, *SHAPE, 1)).astype(np.float32)
+    half = tuple(s // 2 for s in SHAPE)
+    seg = RNG.random((1, *half, 2)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), src, src, seg)["params"]
+    path = str(tmp_path / "semi.npz")
+    save_model(path, model, jax.device_get(params))
+
+    net, net_params = resolve_registration_model(*load_model(path))
+    ref_structure = jax.tree_util.tree_structure(
+        net.init(jax.random.PRNGKey(0),
+                 jax.numpy.asarray(src), jax.numpy.asarray(src))["params"])
+    assert jax.tree_util.tree_structure(net_params) == ref_structure
+    out = net.apply({"params": net_params}, src, src, train=False)
+    assert out["pos_flow"].shape == (1, *SHAPE, len(SHAPE))

@@ -225,6 +225,44 @@ class VxmDenseSemiSupervisedSeg(nn.Module):
         return out
 
 
+def registration_model(model, params):
+    """Extract the inner VxmDense from a semi-supervised wrapper checkpoint.
+
+    Deployment registers plain image pairs — the auxiliary seg / surface
+    inputs exist only at train time (the reference's get_registration_model
+    slices the Keras graph the same way, tf/networks.py:264-268). Returns
+    ``(VxmDense, vxm_params)``.
+    """
+    name = type(model).__name__
+    if name == "VxmDenseSemiSupervisedSeg":
+        bidir = model.bidir or model.bidir_labels
+        net = VxmDense(
+            inshape=model.inshape,
+            nb_unet_features=model.nb_unet_features,
+            bidir=bidir,
+            int_steps=model.int_steps,
+            int_resolution=model.int_resolution,
+            use_probs=model.use_probs,
+            src_feats=model.src_feats,
+            trg_feats=model.trg_feats,
+            reg_field=model.reg_field,
+            dtype=model.dtype,
+        )
+    elif name == "VxmDenseSemiSupervisedPointCloud":
+        net = VxmDense(
+            inshape=model.inshape,
+            nb_unet_features=model.nb_unet_features,
+            bidir=True,
+            int_steps=model.int_steps,
+            int_resolution=model.int_resolution,
+            use_probs=model.use_probs,
+            dtype=model.dtype,
+        )
+    else:
+        raise ValueError(f"no registration extraction for {name}")
+    return net, params["vxm"]
+
+
 class VxmDenseSemiSupervisedPointCloud(nn.Module):
     """VxmDense (bidir) + surface-point distance supervision.
 

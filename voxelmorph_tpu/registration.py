@@ -26,8 +26,12 @@ def resolve_registration_model(model, params):
     reference ships just those weights, scripts/tf/train_synthmorph.py:149).
     Every other model class registers images directly and passes through.
     """
-    if type(model).__name__ == "SynthMorphDense":
+    name = type(model).__name__
+    if name == "SynthMorphDense":
         from .models.synthmorph import registration_model
+        return registration_model(model, params)
+    if name in ("VxmDenseSemiSupervisedSeg", "VxmDenseSemiSupervisedPointCloud"):
+        from .models.vxm import registration_model
         return registration_model(model, params)
     return model, params
 
