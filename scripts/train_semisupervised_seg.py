@@ -123,7 +123,7 @@ def main(argv=None):
 
     trainer.fit(generator, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
                 initial_epoch=args.initial_epoch, model_dir=args.model_dir,
-                save_freq_epochs=20)
+                save_freq_epochs=10)
 
 
 if __name__ == '__main__':
