@@ -28,6 +28,15 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--src", default="data_gen", help="population directory")
     p.add_argument("--out", default="data_synth", help="output directory")
+    p.add_argument("--augment", type=int, default=0,
+                   help="extra randomly-warped variants per training label "
+                        "map (diversifies the single-subject population the "
+                        "way SynthMorph's multi-subject corpus does)")
+    p.add_argument("--warp-std", type=float, default=3.0,
+                   help="SVF std (voxels at half-res) for --augment variants")
+    p.add_argument("--warp-res", type=float, default=16.0,
+                   help="SVF spatial scale for --augment variants")
+    p.add_argument("--seed", type=int, default=2027)
     return p.parse_args(argv)
 
 
@@ -35,10 +44,37 @@ def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
+    make_variant = None
+    if args.augment:
+        import jax
+        import jax.numpy as jnp
+        from voxelmorph_tpu.ops import warp as W
+        from voxelmorph_tpu.ops.image import draw_multiscale_noise
+
+        @jax.jit
+        def make_variant(key, seg):
+            svf = draw_multiscale_noise(key, seg.shape, (args.warp_res,),
+                                        args.warp_std, nb_channels=seg.ndim)
+            field = W.integrate_vec(svf, nb_steps=5)
+            out = W.transform(seg.astype(jnp.float32)[..., None], field,
+                              interp_method="nearest")[..., 0]
+            return out.astype(jnp.int32)
+
+    n_aug = 0
     for path in sorted(glob.glob(os.path.join(args.src, "train_*.npz"))):
         seg = np.load(path)["seg"][::2, ::2, ::2].astype(np.int32)
-        name = "lab_" + os.path.basename(path).split("_")[1]
-        np.savez(os.path.join(args.out, name), vol=seg)
+        stem = os.path.basename(path).split("_")[1].split(".")[0]
+        np.savez(os.path.join(args.out, f"lab_{stem}"), vol=seg)
+        if args.augment:
+            import jax
+            base = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(stem))
+            for a in range(args.augment):
+                key = jax.random.fold_in(base, a)
+                var = np.asarray(make_variant(key, seg))
+                np.savez(os.path.join(args.out, f"lab_{stem}a{a}"), vol=var)
+                n_aug += 1
+    if args.augment:
+        print(f"augmented: {n_aug} extra warped label maps")
 
     tests = []
     for path in sorted(glob.glob(os.path.join(args.src, "test_*.npz"))):

@@ -24,8 +24,8 @@ def parse_args(argv=None):
     parser.add_argument('--multichannel', action='store_true',
                         help='volumes already carry a trailing channel axis')
     parser.add_argument('--hyper', type=float, default=0.5,
-                        help='regularization hyperparameter fed to HyperVxmJoint '
-                             'models (ignored by others)')
+                        help='hyperparameter fed to HyperMorph models (HyperVxmDense/'
+                             'HyperVxmJoint; ignored by others)')
     return parser.parse_args(argv)
 
 
@@ -52,7 +52,7 @@ def main(argv=None):
         hyp = jnp.full((mv.shape[0], 1), args.hyper, jnp.float32)
         moved, warp = build_joint_register_fn(model)(params, hyp, mv, fx)
     else:
-        moved, warp = build_register_fn(model)(params, mv, fx)
+        moved, warp = build_register_fn(model, hyper=args.hyper)(params, mv, fx)
 
     import numpy as np
     if args.warp:

@@ -30,8 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--labels", default="/root/reference/data/labels.npz")
     p.add_argument("--out", default="QUALITY_r02.json")
     p.add_argument("--hyper", type=float, default=0.5,
-                   help="regularization hyperparameter for HyperVxmJoint "
-                        "models (ignored by others)")
+                   help="hyperparameter for HyperMorph models (HyperVxmDense/"
+                        "HyperVxmJoint; ignored by others)")
     return p.parse_args(argv)
 
 

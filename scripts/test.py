@@ -26,8 +26,8 @@ def parse_args(argv=None):
     parser.add_argument('--seg-prefix', help='string prepended to every seg path in the list')
     parser.add_argument('--labels', help='optional label list to compute dice for (npy format)')
     parser.add_argument('--hyper', type=float, default=0.5,
-                        help='regularization hyperparameter for HyperVxmJoint '
-                             'models (ignored by others)')
+                        help='hyperparameter for HyperMorph models (HyperVxmDense/'
+                             'HyperVxmJoint; ignored by others)')
     parser.add_argument('--multichannel', action='store_true',
                         help='volumes already carry a trailing channel axis')
     return parser.parse_args(argv)

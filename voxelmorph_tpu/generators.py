@@ -141,6 +141,13 @@ def semisupervised(vol_names, seg_names, labels, atlas_file=None, downsize=2):
                                            for x in v)
     if (_is_paths(seg_names) and _is_paths(vol_names)
             and list(seg_names) == list(vol_names)):
+        # only npz files can carry both 'vol' and 'seg'; for any other
+        # format load_volfile ignores np_var, so identical lists would
+        # silently train against the image as its own segmentation
+        if not all(str(x).endswith(".npz") for x in vol_names):
+            raise ValueError(
+                "identical vol/seg path lists require .npz files with "
+                "'vol' + 'seg' variables; pass distinct seg paths otherwise")
         seg_names = True
     gen = volgen(vol_names, segs=seg_names, np_var="vol")
     flow = None

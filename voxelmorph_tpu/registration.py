@@ -36,18 +36,37 @@ def resolve_registration_model(model, params):
     return model, params
 
 
-def build_register_fn(model, interp_method: str = "linear"):
-    """Return a jitted fn(params, moving, fixed) -> (moved, warp)."""
+def _apply_image_model(model, params, moving, fixed, hyper):
+    """model.apply with the HyperVxmDense calling convention handled.
+
+    HyperVxmDense takes a positional (B, nb_hyp) hyperparameter tensor
+    (reference tf/networks.py:1192-1231 feeds it as a second model input);
+    every other image-registration model is (moving, fixed). Output keys
+    are identical, so callers stay uniform.
+    """
+    if type(model).__name__ == "HyperVxmDense":
+        hyp = jnp.full((moving.shape[0], model.nb_hyp_params),
+                       hyper, jnp.float32)
+        return model.apply({"params": params}, moving, fixed, hyp, train=False)
+    return model.apply({"params": params}, moving, fixed, train=False)
+
+
+def build_register_fn(model, interp_method: str = "linear",
+                      hyper: float = 0.5):
+    """Return a jitted fn(params, moving, fixed) -> (moved, warp).
+
+    ``hyper`` is baked into HyperVxmDense calls and ignored by other models.
+    """
 
     @jax.jit
     def _register(params, moving, fixed):
-        out = model.apply({"params": params}, moving, fixed, train=False)
+        out = _apply_image_model(model, params, moving, fixed, hyper)
         return out["y_source"], out["pos_flow"]
 
     return _register
 
 
-def build_register_seg_fn(model):
+def build_register_seg_fn(model, hyper: float = 0.5):
     """Jitted fn(params, moving, fixed, moving_seg) -> (moved, warp, moved_seg).
 
     The segmentation rides the same warp with nearest-neighbor interpolation —
@@ -56,7 +75,7 @@ def build_register_seg_fn(model):
 
     @jax.jit
     def _register(params, moving, fixed, moving_seg):
-        out = model.apply({"params": params}, moving, fixed, train=False)
+        out = _apply_image_model(model, params, moving, fixed, hyper)
         warp = out["pos_flow"]
         moved_seg = warp_ops.transform_batched(
             moving_seg, warp, interp_method="nearest")
@@ -91,13 +110,14 @@ def build_eval_register_fn(model, hyper: float = 0.5):
     """Uniform eval entry: fn(params, moving, fixed, moving_seg) ->
     (moved, warp, moved_seg) for ANY zoo registration model.
 
-    VxmDense-family models use the fused register+seg path; HyperVxmJoint
+    VxmDense-family models use the fused register+seg path (HyperVxmDense
+    included — ``hyper`` becomes its hyperparameter input); HyperVxmJoint
     gets its (hyp, im1, im2) calling convention and zero-based-index
     transform semantics handled here, with ``hyper`` baked in, so test.py
     and the quality-eval runner work on every checkpoint type.
     """
     if type(model).__name__ != "HyperVxmJoint":
-        return build_register_seg_fn(model)
+        return build_register_seg_fn(model, hyper=hyper)
 
     @jax.jit
     def _register(params, moving, fixed, moving_seg):
