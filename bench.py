@@ -41,6 +41,29 @@ BASELINE_CPU_PAIRS_PER_S = 0.0470
 
 INSHAPE = (160, 192, 224)
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16, f32 runs through the same MXU
+# at half rate. MFU is reported against the dtype's own peak.
+PEAK_TFLOPS = {"bfloat16": 197.0, "float32": 98.5}
+
+
+def _short_err(e):
+    """Loud failure string: type + first line of the real message."""
+    msg = str(e).strip().split("\n")[0][:200]
+    return f"failed: {type(e).__name__}: {msg}"
+
+
+def _compiled_flops(jitted, *args):
+    """Analytic FLOPs of a compiled function via XLA cost analysis (None if
+    the backend doesn't expose it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
 
 def _enable_compile_cache():
     from voxelmorph_tpu.training import enable_compile_cache
@@ -84,6 +107,7 @@ def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("float32", "bfloat16"),
 
     moving, fixed = _load_pair()
     best, best_cfg, detail = 0.0, "", {}
+    best_mfu = {}
     for dtype_name in dtypes:
         dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2,
@@ -104,18 +128,27 @@ def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("float32", "bfloat16"),
             try:
                 dt = _timed_chain(lambda m, f: reg_probe(params, m, f), mv, fx,
                                   iters=iters, warmup=warmup)
-            except Exception as e:  # OOM at larger batch: skip
-                detail[key] = f"failed: {type(e).__name__}"
+            except Exception as e:  # OOM at larger batch: record WHY
+                detail[key] = _short_err(e)
                 continue
             pairs_per_s = bs / dt
             detail[key] = round(pairs_per_s, 4)
             if pairs_per_s > best:
                 best, best_cfg = pairs_per_s, key
+                flops = _compiled_flops(reg_probe, params, mv, fx)
+                if flops:
+                    tfs = flops / dt / 1e12
+                    best_mfu = {
+                        "model_tflop_fwd": round(flops / bs / 1e12, 4),
+                        "tflops_per_s": round(tfs, 2),
+                        "mfu": round(tfs / PEAK_TFLOPS[dtype_name], 4),
+                    }
+    detail.update(best_mfu)
     return best, best_cfg, detail
 
 
-def measure_train_step(iters=5, warmup=2, dtype_name="float32"):
-    """Full train step (fwd+bwd+Adam) at 160x192x224, batch 1 — captures the
+def measure_train_step(iters=5, warmup=2, dtype_name="float32", batch_size=1):
+    """Full train step (fwd+bwd+Adam) at 160x192x224 — captures the
     end-to-end training cost the reference never reports."""
     import jax
     import jax.numpy as jnp
@@ -125,6 +158,9 @@ def measure_train_step(iters=5, warmup=2, dtype_name="float32"):
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     moving, fixed = _load_pair()
+    if batch_size > 1:
+        moving = np.repeat(moving, batch_size, axis=0)
+        fixed = np.repeat(fixed, batch_size, axis=0)
     model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2, dtype=dtype)
     terms = [
         LossTerm("y_source", vxm.losses.MSE().loss, weight=1.0, target_index=0),
@@ -133,7 +169,7 @@ def measure_train_step(iters=5, warmup=2, dtype_name="float32"):
     ]
     trainer = Trainer(model, terms, lr=1e-4)
     trainer.init((moving, fixed))
-    zeros = np.zeros((1, *INSHAPE, 3), np.float32)
+    zeros = np.zeros((batch_size, *INSHAPE, 3), np.float32)
 
     # keep the batch device-resident: on a tunneled backend the host->device
     # transfer of two full volumes would otherwise dominate the measurement
@@ -262,16 +298,22 @@ if __name__ == "__main__":
         detail["train_step_s_bs1_f32"] = round(step_s, 3)
         detail["train_pairs_per_s"] = round(1.0 / step_s, 4)
     except Exception as e:
-        detail["train_step_s_bs1_f32"] = f"failed: {type(e).__name__}"
+        detail["train_step_s_bs1_f32"] = _short_err(e)
     try:
         step_s = measure_train_step(dtype_name="bfloat16")
         detail["train_step_s_bs1_bf16"] = round(step_s, 3)
     except Exception as e:
-        detail["train_step_s_bs1_bf16"] = f"failed: {type(e).__name__}"
+        detail["train_step_s_bs1_bf16"] = _short_err(e)
+    try:
+        step_s = measure_train_step(dtype_name="bfloat16", batch_size=4)
+        detail["train_step_s_bs4_bf16"] = round(step_s, 3)
+        detail["train_pairs_per_s_bs4_bf16"] = round(4.0 / step_s, 4)
+    except Exception as e:
+        detail["train_step_s_bs4_bf16"] = _short_err(e)
     try:
         detail.update(measure_vecint_ab())
     except Exception as e:
-        detail["vecint_ab"] = f"failed: {type(e).__name__}: {e}"
+        detail["vecint_ab"] = _short_err(e)
 
     print(json.dumps({
         "metric": "vxm_dense_registration_throughput_160x192x224",

@@ -172,3 +172,83 @@ def test_inference_sharded_batch():
     moved, warp = fn(params_r, src_s, trg_s)
     assert moved.shape == (8, *SHAPE, 1)
     assert warp.shape == (8, *SHAPE, 3)
+
+
+def test_pallas_dispatch_guard(monkeypatch):
+    """A 'space'-sharded Trainer must force bounded warps onto the XLA
+    shifted-slice path: pallas_call has no GSPMD partitioning rule."""
+    from voxelmorph_tpu.ops import warp as warp_ops
+    from voxelmorph_tpu.ops import pallas_interp
+
+    # make the pallas path 'available' but explosive if actually taken
+    monkeypatch.setattr(pallas_interp, "pallas_available", lambda: True)
+    monkeypatch.setattr(pallas_interp, "kernel_vmem_fits",
+                        lambda *a, **k: True)
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel dispatched under space sharding")
+    monkeypatch.setattr(pallas_interp, "warp_bounded", boom)
+
+    vol = jnp.asarray(RNG.normal(size=(8, 8, 8, 1)).astype(np.float32))
+    shift = jnp.asarray(0.4 * RNG.normal(size=(8, 8, 8, 3)).astype(np.float32))
+
+    try:
+        # a trainer on a space>1 mesh flips the guard at mesh-resolution time
+        model = VxmDense(inshape=(8, 8, 8), int_steps=1,
+                         nb_unet_features=[[2], [2, 2]])
+        trainer = Trainer(model, _loss_terms(), lr=1e-3,
+                          mesh=mesh_lib.make_mesh(shape=(2, 4)))
+        trainer.init((np.zeros((2, 8, 8, 8, 1), np.float32),
+                      np.zeros((2, 8, 8, 8, 1), np.float32)))
+        assert not warp_ops._PALLAS_DISPATCH_OK
+
+        # the dispatch now takes the XLA route and matches the reference path
+        out = warp_ops._windowed_impl(vol, shift, halo=1)
+        ref = warp_ops.windowed_transform(vol, shift, halo=1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+        # with the guard lifted, the same call would hit the kernel
+        warp_ops.set_pallas_dispatch(True)
+        with pytest.raises(AssertionError, match="pallas kernel dispatched"):
+            warp_ops._windowed_impl(vol, shift, halo=1)
+    finally:
+        warp_ops.set_pallas_dispatch(True)
+
+
+@pytest.mark.slow
+def test_spatial_sharding_windowed_halo_realistic(monkeypatch):
+    """space=4 sharding at 80x96x112 with the windowed/bounded-warp dispatch
+    FORCED (VXM_WINDOW_HALO=1 -> lax.cond + shifted slices): loss and grads
+    of a full fwd+bwd must match the unsharded run. This is the exact
+    interaction (space-sharded field x windowed dispatch) a real multi-chip
+    mesh exercises."""
+    from voxelmorph_tpu.ops import warp as warp_ops
+    monkeypatch.setattr(warp_ops, "_env_halo", "1")
+
+    shape = (80, 96, 112)
+    model = VxmDense(inshape=shape, int_steps=2, int_resolution=2,
+                     nb_unet_features=[[2, 2], [2, 2]])
+    src = jnp.asarray(RNG.normal(size=(2, *shape, 1)).astype(np.float32))
+    trg = jnp.asarray(RNG.normal(size=(2, *shape, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), src, trg)["params"]
+
+    def loss_fn(p, a, b):
+        out = model.apply({"params": p}, a, b, train=False)
+        return jnp.mean((out["y_source"] - b) ** 2) + jnp.mean(
+            out["pos_flow"] ** 2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    loss1, grads1 = step(params, src, trg)
+
+    mesh = mesh_lib.make_mesh(shape=(2, 4))
+    loss2, grads2 = step(
+        mesh_lib.replicate(mesh, params),
+        mesh_lib.shard_batch(mesh, src, spatial=True),
+        mesh_lib.shard_batch(mesh, trg, spatial=True))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    flat1 = jax.tree_util.tree_leaves(grads1)
+    flat2 = jax.tree_util.tree_leaves(grads2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)

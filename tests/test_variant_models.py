@@ -138,6 +138,32 @@ def test_conditional_template_creation():
     assert out["mean_stream"].shape == (1, *SHAPE, 3)
 
 
+def test_conditional_template_upsampling_decoder():
+    # conv_nb_levels > 0: the ne.models.conv_dec branch (reference
+    # tf/networks.py:913) — pheno decodes from inshape/2**levels up to inshape
+    model = ConditionalTemplateCreation(
+        inshape=SHAPE, pheno_input_shape=(2,), int_steps=2,
+        nb_unet_features=TINY_UNET, conv_nb_features=4, conv_nb_levels=2,
+        extra_conv_layers=1)
+    pheno = jnp.asarray([[0.5, 1.0]])
+    atlas = jnp.zeros((1, *SHAPE, 1))
+    src = jnp.zeros((1, *SHAPE, 1))
+    variables = model.init(jax.random.PRNGKey(0), pheno, atlas, src)
+    # the pheno dense layer now maps to the SMALL image (3x3x3x4), not inshape
+    dense_kernel = variables["params"]["pheno_dense"]["kernel"]
+    assert dense_kernel.shape == (2, 3 * 3 * 3 * 4)
+    out, _ = model.apply(variables, pheno, atlas, src, mutable=["stream"])
+    assert out["atlas_tensor"].shape == (1, *SHAPE, 1)
+
+    import pytest
+    with pytest.raises(ValueError, match="upsampled"):
+        bad = ConditionalTemplateCreation(
+            inshape=(10, 10, 10), pheno_input_shape=(2,),
+            conv_image_shape=(3, 3, 3), conv_nb_levels=2)
+        bad.init(jax.random.PRNGKey(0), pheno,
+                 jnp.zeros((1, 10, 10, 10, 1)), jnp.zeros((1, 10, 10, 10, 1)))
+
+
 def test_prob_atlas_segmentation():
     nb_labels = 4
     model = ProbAtlasSegmentation(

@@ -30,3 +30,8 @@ from . import models
 from . import networks  # noqa: F401  (API-parity alias module)
 from . import utils  # noqa: F401  (API-parity alias: reference vxm.utils ops layer)
 from . import parallel, registration, training
+
+# Persistent compilation cache for EVERY entry point (full-resolution 3-D
+# compiles take minutes on a tunneled TPU; see training.enable_compile_cache
+# for the knobs). Idempotent and env-gated (VXM_COMPILE_CACHE=0).
+training.enable_compile_cache()

@@ -115,7 +115,18 @@ class TemplateCreation(nn.Module):
 class ConditionalTemplateCreation(nn.Module):
     """Conditional template: a phenotype vector generates an atlas residual
     added to a base atlas, then registered as in TemplateCreation
-    (tf/networks.py:856-983, defaults: conv_nb_levels=0 decoder).
+    (tf/networks.py:856-983).
+
+    ``conv_nb_levels > 0`` enables the upsampling atlas decoder the reference
+    builds through ``ne.models.conv_dec`` (tf/networks.py:913): the phenotype
+    is reshaped to a low-resolution ``conv_image_shape`` image and decoded
+    through that many [conv+ELU, 2x nearest-upsample] levels plus a final
+    linear conv before the extra convolutions. ``conv_image_shape`` defaults
+    to ``inshape`` (levels=0) or ``inshape / 2**levels`` otherwise.
+
+    The reference's ``templcondsi`` branch is not reproduced: it references
+    an undefined variable (``pout``, tf/networks.py:941) and cannot execute
+    upstream either.
 
     Call: (pheno, atlas, source). Outputs add 'atlas_tensor' and
     'mean_stream' (if enabled).
@@ -126,7 +137,9 @@ class ConditionalTemplateCreation(nn.Module):
     nb_unet_features: Any = None
     src_feats: int = 1
     atlas_feats: Optional[int] = None
+    conv_image_shape: Optional[Sequence[int]] = None
     conv_size: int = 3
+    conv_nb_levels: int = 0
     conv_nb_features: int = 32
     extra_conv_layers: int = 3
     use_mean_stream: bool = True
@@ -139,15 +152,40 @@ class ConditionalTemplateCreation(nn.Module):
     def __call__(self, pheno, atlas, source, train: bool = True):
         ndims = len(self.inshape)
         atlas_feats = self.atlas_feats or self.src_feats
-        conv_image_shape = (*self.inshape, self.conv_nb_features)
+        if self.conv_image_shape is not None:
+            conv_image_shape = tuple(self.conv_image_shape)
+            if len(conv_image_shape) == ndims:
+                conv_image_shape += (self.conv_nb_features,)
+        else:
+            scale = 2 ** self.conv_nb_levels
+            conv_image_shape = tuple(s // scale for s in self.inshape) + (
+                self.conv_nb_features,)
+        up_shape = tuple(s * 2 ** self.conv_nb_levels
+                         for s in conv_image_shape[:-1])
+        if up_shape != tuple(self.inshape):
+            raise ValueError(
+                f"conv_image_shape {conv_image_shape[:-1]} upsampled through "
+                f"{self.conv_nb_levels} levels gives {up_shape}, expected "
+                f"inshape {tuple(self.inshape)}")
 
         # pheno -> dense -> reshape to a low-channel image
         x = nn.Dense(int(np.prod(conv_image_shape)), name="pheno_dense")(pheno)
         x = nn.elu(x)
         x = x.reshape(-1, *conv_image_shape)
 
-        # decoder convolutions (conv_nb_levels=0 default: no upsampling)
         k = (self.conv_size,) * ndims
+        # upsampling decoder (ne.models.conv_dec): conv+ELU then 2x nearest
+        # repeat per level, closed by a linear likelihood conv
+        for n in range(self.conv_nb_levels):
+            x = nn.elu(nn.Conv(self.conv_nb_features, k, padding="SAME",
+                               name=f"atlas_dec_conv_{n}")(x))
+            for axis in range(1, ndims + 1):
+                x = jnp.repeat(x, 2, axis=axis)
+        if self.conv_nb_levels:
+            x = nn.Conv(self.conv_nb_features, (1,) * ndims, padding="SAME",
+                        name="atlas_dec_likelihood")(x)
+
+        # extra decoder convolutions (conv_nb_levels=0 default: no upsampling)
         for n in range(self.extra_conv_layers):
             x = nn.Conv(self.conv_nb_features, k, padding="SAME",
                         name=f"atlas_extra_conv_{n}")(x)

@@ -101,10 +101,28 @@ def windowed_transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> j
     return out
 
 
+# Trace-time switch for the Pallas kernel. pallas_call has no GSPMD
+# partitioning rule: under a 'space'-sharded operand XLA would either fail
+# to partition or silently all-gather the full field onto every chip. The
+# Trainer flips this off whenever its mesh has a space axis > 1, so the
+# windowed path lowers to the XLA shifted-slice formulation, which GSPMD
+# partitions with ordinary halo exchanges. Sticky for the process (a
+# spatially-sharded trainer and a Pallas inference path never share a
+# process in practice); VXM_PALLAS=0 is the user-level kill switch.
+_PALLAS_DISPATCH_OK = True
+
+
+def set_pallas_dispatch(enabled: bool) -> None:
+    """Allow/forbid lowering bounded warps to the Pallas kernel (trace-time)."""
+    global _PALLAS_DISPATCH_OK
+    _PALLAS_DISPATCH_OK = bool(enabled)
+
+
 def _windowed_impl(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> jnp.ndarray:
     """Bounded-displacement warp: the Pallas TPU kernel when available
     (single pass over HBM), else the XLA shifted-slice formulation."""
-    if (loc_shift.shape[-1] == 3
+    if (_PALLAS_DISPATCH_OK
+            and loc_shift.shape[-1] == 3
             and os.environ.get("VXM_PALLAS", "1") != "0"):
         from . import pallas_interp
         if (pallas_interp.pallas_available()

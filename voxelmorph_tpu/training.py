@@ -399,6 +399,17 @@ class Trainer:
             spatial = int(np.shape(arrays[0])[1]) if arrays and np.ndim(arrays[0]) > 2 else None
             self.mesh = mesh_lib.make_mesh_for_batch(
                 batch, spatial_size=spatial if self.spatial_shard else None)
+        self._guard_pallas_dispatch()
+
+    def _guard_pallas_dispatch(self):
+        # pallas_call cannot be partitioned by GSPMD: with the volume grid
+        # sharded over 'space' the step must lower bounded warps to the XLA
+        # shifted-slice path (partitioned with plain halo exchanges) instead
+        # of the Pallas kernel. Decided here, at trace-owning scope, so a
+        # multi-chip run can never hit an unpartitionable kernel.
+        if self.mesh is not None and self.mesh.shape.get("space", 1) > 1:
+            from .ops import warp as _warp
+            _warp.set_pallas_dispatch(False)
 
     def init(self, sample_inputs, params=None):
         """Initialize (or adopt) params and the optimizer state."""
@@ -406,6 +417,7 @@ class Trainer:
             self._ensure_mesh(sample_inputs)
         elif self.mesh is None:
             self.mesh = mesh_lib.make_mesh_for_batch(1)
+        self._guard_pallas_dispatch()
         if params is None:
             rngs = {"params": self.base_rng}
             for name in self.rng_names:
