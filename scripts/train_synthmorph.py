@@ -50,6 +50,12 @@ def parse_args(argv=None):
     p.add_argument('--cache-device', action='store_true',
                    help='keep the label-map population resident in device HBM '
                         'and sample pairs by index (recommended on TPU)')
+    p.add_argument('--steps-per-dispatch', type=int, default=1,
+                   help='with --cache-device: run this many train steps per '
+                        'device dispatch (lax.scan) — amortizes the host '
+                        'round-trip that dominates small steps on remote '
+                        'TPUs; 0 = one dispatch per epoch. The sample '
+                        'sequence is identical to per-step dispatch.')
 
     p.add_argument('--int-steps', type=int, default=5, help='scaling-and-squaring steps for the SVF')
     p.add_argument('--enc', type=int, nargs='+', default=[64] * 4, help='encoder feature counts for the registration U-Net')
@@ -116,6 +122,25 @@ def main(argv=None):
 
     trainer = Trainer(model, terms, lr=arg.lr, rng_names=('synth',),
                       clip_norm=arg.clip_grad)
+
+    if arg.cache_device and arg.steps_per_dispatch != 1:
+        # scanned multi-step path: K steps per device round trip. The index
+        # stream starts at +1 because the per-step path burns stream step 0
+        # on its shape probe — keeps the two paths' sample sequences (and
+        # resumed checkpoints) interchangeable.
+        from voxelmorph_tpu.training import init_or_resume
+        probe = np.zeros((arg.batch_size, *in_shape, 1), np.float32)
+        arg.init_epoch = init_or_resume(
+            trainer, arg.init_weights, arg.model_dir, (probe, probe),
+            arg.init_epoch)
+        trainer.fit_cached_labels(
+            label_maps, epochs=arg.epochs, steps_per_epoch=arg.steps_per_epoch,
+            steps_per_dispatch=arg.steps_per_dispatch,
+            batch_size=arg.batch_size, same_subj=arg.same_subj,
+            start_step=arg.init_epoch * arg.steps_per_epoch + 1,
+            initial_epoch=arg.init_epoch, model_dir=arg.model_dir,
+            save_freq_epochs=arg.save_freq, save_filename='{epoch:05d}.npz')
+        return
 
     sample = next(gen)
     from voxelmorph_tpu.training import init_or_resume

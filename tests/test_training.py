@@ -471,3 +471,50 @@ def test_semisupervised_registration_extraction(tmp_path):
     assert jax.tree_util.tree_structure(net_params) == ref_structure
     out = net.apply({"params": net_params}, src, src, train=False)
     assert out["pos_flow"].shape == (1, *SHAPE, len(SHAPE))
+
+
+def test_scanned_cached_label_fit_matches_per_step(tmp_path):
+    """The lax.scan multi-step dispatch (fit_cached_labels) must reproduce
+    the per-step device_cached_label_generator path exactly: same sample
+    sequence, same rng folding, same params after N steps."""
+    from voxelmorph_tpu.losses import Dice, Grad
+    from voxelmorph_tpu.models import LabelsToImageConfig, SynthMorphDense
+    from voxelmorph_tpu.training import device_cached_label_generator
+
+    cfg = LabelsToImageConfig(in_shape=SHAPE, in_label_list=[0, 1, 2],
+                              warp_res=[8], bias_res=[8], warp_int_steps=2)
+    maps = [RNG.integers(0, 3, size=SHAPE).astype(np.int32) for _ in range(4)]
+
+    def make_trainer():
+        model = SynthMorphDense(cfg=cfg, nb_unet_features=[[4], [4, 4]],
+                                int_steps=1)
+        dice, grad = Dice(), Grad("l2", loss_mult=1.0)
+        terms = [
+            LossTerm("pred_map", lambda t, p: dice.loss(t, p) + 1.0,
+                     weight=1.0, target_output_key="map_2", name="dice"),
+            LossTerm("pos_flow", grad.loss, weight=1.0,
+                     target_output_key="pos_flow", name="grad"),
+        ]
+        return Trainer(model, terms, lr=1e-3, rng_names=("synth",), seed=3)
+
+    # per-step path, stream starting at 1 (the CLI's shape probe burns 0)
+    t1 = make_trainer()
+    gen = device_cached_label_generator(maps, batch_size=1, start_step=1)
+    probe = np.zeros((1, *SHAPE, 1), np.float32)
+    t1.init((probe, probe))
+    for _ in range(6):
+        inputs, targets = next(gen)
+        t1.train_step(inputs, targets)
+
+    # scanned path: 6 steps in 2 dispatches of 3
+    t2 = make_trainer()
+    t2.fit_cached_labels(maps, epochs=1, steps_per_epoch=6,
+                         steps_per_dispatch=3, batch_size=1, start_step=1,
+                         model_dir=None, log_fn=lambda s: None)
+
+    l1 = jax.tree_util.tree_leaves(t1.params)
+    l2 = jax.tree_util.tree_leaves(t2.params)
+    assert t2.global_step == 6
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -120,6 +120,59 @@ def make_train_step(model, loss_terms: Sequence[LossTerm], tx,
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 
+def make_scanned_cached_label_step(model, loss_terms: Sequence[LossTerm], tx,
+                                   batch_size: int,
+                                   rng_names: Sequence[str] = ()):
+    """K train steps per device dispatch over an HBM-resident label stack.
+
+    On a tunneled/remote TPU each dispatch costs a host round trip that can
+    exceed the step's compute (measured: the SynthMorph half-res step is
+    ~0.24 s dispatched singly but ~0.12 s of actual compute). This builder
+    moves the whole inner loop on device: a ``lax.scan`` whose per-step body
+    gathers its batch from the cached label stack by index, applies the
+    host-drawn axis flips in-graph, and runs the usual fwd+bwd+update. The
+    host streams only (K, 2B) int32 picks and (K, nd) bool flip flags per
+    dispatch — the index stream (device_cached_label_indices) is byte-for-
+    byte the one the per-step path consumes, so the sample sequence (and
+    resume replay) is identical.
+
+    Returns jitted fn(params, state, opt_state, base_rng, step0, data,
+    picks, flips) -> (params, state, opt_state, last_metrics).
+    """
+    loss_fn = make_loss_fn(model, loss_terms, rng_names=rng_names)
+
+    def multi_step(params, state, opt_state, base_rng, step0, data,
+                   picks, flips):
+        nd = data.ndim - 2
+        void = jnp.zeros((batch_size, *data.shape[1:-1], nd), jnp.float32)
+
+        def body(carry, xs):
+            params, state, opt_state = carry
+            step, pk, fl = xs
+            rng = jax.random.fold_in(base_rng, step)
+            # float32 for bit-parity with the per-step path (Trainer._put
+            # casts every generator batch to float32)
+            pair = jnp.take(data, pk, axis=0).astype(jnp.float32)
+            for a in range(nd):
+                pair = jnp.where(fl[a], jnp.flip(pair, axis=a + 1), pair)
+            inputs = (pair[:batch_size], pair[batch_size:])
+            grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (metrics, new_state)), grads = grads_fn(
+                params, state, inputs, (void, void), rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), metrics
+
+        k = picks.shape[0]
+        steps = step0 + jnp.arange(k, dtype=jnp.int32)
+        (params, state, opt_state), metrics = jax.lax.scan(
+            body, (params, state, opt_state), (steps, picks, flips))
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return params, state, opt_state, last
+
+    return jax.jit(multi_step, donate_argnums=(0, 1, 2))
+
+
 def find_latest_checkpoint(model_dir: str):
     """Return (path, epoch) of the newest numbered checkpoint, or (None, 0).
 
@@ -265,6 +318,29 @@ def device_cached_semisupervised_generator(files, labels, downsize: int = 2,
         yield [src, trg, src_seg], [trg, zeros, trg_seg]
 
 
+def device_cached_label_indices(n: int, nd: int, batch_size: int = 1,
+                                same_subj: bool = False, flip: bool = True,
+                                seed: int = 0, start_step: int = 0):
+    """The sampling stream behind device_cached_label_generator: yields
+    (picks (2B,) int32, flip_flags (nd,) bool) per step. Stateless per step
+    (numpy rng keyed by (seed, step)), so a resumed run — or the scanned
+    multi-step path, which consumes the SAME stream — replays the exact
+    sample sequence of the per-step path."""
+    step = start_step
+    while True:
+        rng = np.random.default_rng((seed, step))
+        picks = rng.integers(n, size=2 * batch_size).astype(np.int32)
+        if same_subj:
+            picks[batch_size:] = picks[:batch_size]
+        flags = np.zeros(nd, bool)
+        if flip:
+            nb_axes = int(rng.integers(nd + 1))
+            axes = rng.choice(nd, size=nb_axes, replace=False, shuffle=False)
+            flags[np.asarray(axes, int)] = True
+        step += 1
+        yield picks, flags
+
+
 def device_cached_label_generator(label_maps, batch_size: int = 1,
                                   same_subj: bool = False, flip: bool = True,
                                   seed: int = 0, start_step: int = 0):
@@ -284,19 +360,14 @@ def device_cached_label_generator(label_maps, batch_size: int = 1,
     nd = data.ndim - 2
     void = np.zeros((batch_size, *data.shape[1:-1], nd), "float32")
 
-    step = start_step
-    while True:
-        rng = np.random.default_rng((seed, step))
-        picks = rng.integers(n, size=2 * batch_size)
-        if same_subj:
-            picks[batch_size:] = picks[:batch_size]
+    stream = device_cached_label_indices(
+        n, nd, batch_size=batch_size, same_subj=same_subj, flip=flip,
+        seed=seed, start_step=start_step)
+    for picks, flags in stream:
         pair = jnp.take(data, picks, axis=0)
-        if flip:
-            nb_axes = int(rng.integers(nd + 1))
-            axes = rng.choice(nd, size=nb_axes, replace=False, shuffle=False)
-            if nb_axes:
-                pair = jnp.flip(pair, axis=tuple(int(a) + 1 for a in axes))
-        step += 1
+        axes = tuple(int(a) + 1 for a in np.flatnonzero(flags))
+        if axes:
+            pair = jnp.flip(pair, axis=axes)
         yield [pair[:batch_size], pair[batch_size:]], [void] * 2
 
 
@@ -504,6 +575,81 @@ class Trainer:
             logger.close()
             if profile_dir:
                 jax.profiler.stop_trace()
+        return last_metrics
+
+    def fit_cached_labels(self, label_maps, epochs: int, steps_per_epoch: int,
+                          steps_per_dispatch: int = 0, batch_size: int = 1,
+                          same_subj: bool = False, flip: bool = True,
+                          seed: int = 0, start_step: Optional[int] = None,
+                          initial_epoch: int = 0, model_dir: Optional[str] = None,
+                          save_freq_epochs: int = 20,
+                          save_filename: str = "{epoch:04d}.npz",
+                          log_fn: Callable[[str], None] = print,
+                          metrics_csv: Optional[str] = None):
+        """Scanned fit over an HBM-resident label-map population (SynthMorph).
+
+        Runs ``steps_per_dispatch`` train steps per device round trip (one
+        ``lax.scan`` dispatch; default: a whole epoch) — see
+        make_scanned_cached_label_step. The host streams only sample indices
+        and flip flags; the sample sequence is exactly the per-step
+        device_cached_label_generator stream, so checkpoints from either
+        path resume interchangeably.
+        """
+        steps_per_dispatch = steps_per_dispatch or steps_per_epoch
+        assert steps_per_epoch % steps_per_dispatch == 0, (
+            "steps_per_epoch must be a multiple of steps_per_dispatch")
+        data = jnp.asarray(np.stack(label_maps)[..., None].astype(np.int32))
+        nd = data.ndim - 2
+        if self.params is None:
+            self.init((np.zeros((batch_size, *data.shape[1:]), np.float32),
+                       np.zeros((batch_size, *data.shape[1:]), np.float32)))
+        multi_step = make_scanned_cached_label_step(
+            self.model, self.loss_terms, self.tx, batch_size,
+            rng_names=self.rng_names)
+        stream = device_cached_label_indices(
+            int(data.shape[0]), nd, batch_size=batch_size,
+            same_subj=same_subj, flip=flip, seed=seed,
+            start_step=(start_step if start_step is not None
+                        else initial_epoch * steps_per_epoch))
+
+        logger = MetricsLogger(metrics_csv or (
+            os.path.join(model_dir, "metrics.csv") if model_dir else None))
+        if model_dir:
+            os.makedirs(model_dir, exist_ok=True)
+            self.save(os.path.join(model_dir,
+                                   save_filename.format(epoch=initial_epoch)),
+                      wait=False)
+        last_metrics = {}
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                for _ in range(steps_per_epoch // steps_per_dispatch):
+                    pk, fl = zip(*(next(stream)
+                                   for _ in range(steps_per_dispatch)))
+                    step0 = np.asarray(self.global_step, np.int32)
+                    (self.params, self.state, self.opt_state,
+                     last_metrics) = multi_step(
+                        self.params, self.state, self.opt_state,
+                        self.base_rng, step0, data,
+                        np.stack(pk), np.stack(fl))
+                    self.global_step += steps_per_dispatch
+                last_metrics = {k: float(v) for k, v in last_metrics.items()}
+                dt = time.time() - t0
+                msg = " - ".join(f"{k}: {v:.6f}"
+                                 for k, v in sorted(last_metrics.items()))
+                log_fn(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, "
+                       f"{steps_per_epoch / dt:.2f} steps/s] {msg}")
+                logger.log(epoch + 1, last_metrics, dt)
+                if model_dir and ((epoch + 1) % save_freq_epochs == 0
+                                  or epoch + 1 == epochs):
+                    self.save(os.path.join(
+                        model_dir, save_filename.format(epoch=epoch + 1)),
+                        wait=False)
+                elif getattr(self, "_save_error", None) is not None:
+                    self.wait_for_saves()
+            self.wait_for_saves()
+        finally:
+            logger.close()
         return last_metrics
 
     def save(self, path: str, wait: bool = True):
