@@ -106,6 +106,18 @@ def main(argv=None):
 
     out["vecint_ms"] = round(_timed(vecint_probe, svf, iters=args.iters) * 1e3, 2)
 
+    # --- vecint backward (the train-step cost bench never isolates: the
+    # gather path's VJP scatters into the sampled field on every squaring
+    # step whose displacement exceeds the windowed halo) ---
+    @jax.jit
+    def vecint_grad_probe(v):
+        g = jax.grad(lambda x: jnp.sum(
+            W.integrate_vec_batched(x, nb_steps=7)[0, ::32, ::32, ::32]))(v)
+        return jnp.sum(g[0, ::32, ::32, ::32]).astype(jnp.float32)
+
+    out["vecint_grad_ms"] = round(
+        _timed(vecint_grad_probe, svf, iters=args.iters) * 1e3, 2)
+
     # --- final full-res warp (unbounded displacements -> corner gather) ---
     warp_full = jnp.asarray(
         8.0 * rng.standard_normal((*INSHAPE, 3)).astype(np.float32))
@@ -117,6 +129,18 @@ def main(argv=None):
 
     out["final_warp_ms"] = round(
         _timed(warp_probe, moving, warp_full, iters=args.iters) * 1e3, 2)
+
+    # --- final warp backward wrt the WARP only (training needs no gradient
+    # wrt the moving image, so the corner-table scatter should be DCE'd;
+    # this probe verifies that) ---
+    @jax.jit
+    def warp_grad_probe(vol, w):
+        g = jax.grad(lambda s: jnp.sum(
+            W.transform(vol[0], s, window_halo=None)[::64, ::64, ::64]))(w)
+        return jnp.sum(g[::64, ::64, ::64]).astype(jnp.float32)
+
+    out["final_warp_grad_ms"] = round(
+        _timed(warp_grad_probe, moving, warp_full, iters=args.iters) * 1e3, 2)
 
     # --- whole forward ---
     model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2, dtype=dtype)

@@ -42,6 +42,8 @@ def parse_args(argv=None):
     parser.add_argument('--image-sigma', type=float, default=0.05)
     parser.add_argument('--oversample-rate', type=float, default=0.2,
                         help='hyperparameter end-point over-sample rate')
+    parser.add_argument('--save-freq', type=int, default=100,
+                        help='checkpoint every this many epochs')
     return parser.parse_args(argv)
 
 
@@ -130,7 +132,7 @@ def main(argv=None):
 
     trainer.fit(generator, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
                 initial_epoch=args.initial_epoch, model_dir=args.model_dir,
-                save_freq_epochs=100)
+                save_freq_epochs=args.save_freq)
 
     # sweep across 20 values of lambda on an example pair
     if args.test_reg:
