@@ -44,6 +44,10 @@ def parse_args(argv=None):
                         help='hyperparameter end-point over-sample rate')
     parser.add_argument('--save-freq', type=int, default=100,
                         help='checkpoint every this many epochs')
+    parser.add_argument('--cache-device', action='store_true',
+                        help='cache all training volumes in device HBM; the host '
+                             'streams only sample indices and the per-sample '
+                             'lambda array (recommended on tunneled TPUs)')
     return parser.parse_args(argv)
 
 
@@ -60,30 +64,44 @@ def main(argv=None):
     assert len(train_files) > 0, 'Could not find any training data.'
     add_feat_axis = not args.multichannel
 
+    atlas = None
     if args.atlas:
         atlas = vxm.py.utils.load_volfile(args.atlas, np_var='vol',
                                           add_batch_axis=True,
                                           add_feat_axis=add_feat_axis)
-        base_generator = vxm.generators.scan_to_atlas(
-            train_files, atlas, batch_size=args.batch_size,
-            add_feat_axis=add_feat_axis)
-    else:
-        base_generator = vxm.generators.scan_to_scan(
+
+    def make_base_generator(start_step=0):
+        if args.cache_device:
+            from voxelmorph_tpu.training import device_cached_pair_generator
+            return device_cached_pair_generator(
+                train_files, batch_size=args.batch_size,
+                atlas=atlas[0] if atlas is not None else None,
+                add_feat_axis=add_feat_axis, start_step=start_step)
+        if atlas is not None:
+            return vxm.generators.scan_to_atlas(
+                train_files, atlas, batch_size=args.batch_size,
+                add_feat_axis=add_feat_axis)
+        return vxm.generators.scan_to_scan(
             train_files, batch_size=args.batch_size, add_feat_axis=add_feat_axis)
 
-    rng = np.random.default_rng()
-
-    def random_hyperparam():
+    def random_hyperparam(rng):
         if rng.random() < args.oversample_rate:
             return float(rng.choice([0, 1]))
         return float(rng.random())
 
-    def hyp_generator():
+    def hyp_generator(start_step=0):
+        # lambda draws are STATELESS per step (rng keyed by (seed, step)) so a
+        # resumed run replays the exact hyperparameter sequence, matching the
+        # device_cached_pair_generator resume contract
+        base_generator = make_base_generator(start_step)
+        step = start_step
         while True:
+            rng = np.random.default_rng((2027, step))
             hyp = np.expand_dims(
-                [random_hyperparam() for _ in range(args.batch_size)], -1
+                [random_hyperparam(rng) for _ in range(args.batch_size)], -1
             ).astype('float32')
             inputs, outputs = next(base_generator)
+            step += 1
             yield (*inputs, hyp), outputs
 
     generator = hyp_generator()
@@ -129,6 +147,11 @@ def main(argv=None):
     from voxelmorph_tpu.training import init_or_resume
     args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
                                         tuple(sample[0]), args.initial_epoch)
+
+    if args.initial_epoch:
+        # +1: the shape-probing `next(generator)` above consumed stream step 0
+        generator = hyp_generator(
+            start_step=args.initial_epoch * args.steps_per_epoch + 1)
 
     trainer.fit(generator, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
                 initial_epoch=args.initial_epoch, model_dir=args.model_dir,
