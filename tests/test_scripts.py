@@ -137,6 +137,21 @@ def test_train_hypermorph(data, tmp_path):
     assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
 
 
+def test_train_hypermorph_cache_device_resume(data, tmp_path):
+    import train_hypermorph as script
+    common = [
+        "--img-list", str(data / "list.txt"),
+        "--model-dir", str(tmp_path / "m"),
+        "--int-steps", "2", "--cache-device", "--save-freq", "1", *TINY,
+    ]
+    script.main(common + ["--epochs", "1", "--steps-per-epoch", "2"])
+    assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
+    # resume continues the device-cached stream and the lambda sequence
+    script.main(common + ["--epochs", "2", "--steps-per-epoch", "2",
+                          "--load-weights", "latest"])
+    assert os.path.isfile(str(tmp_path / "m" / "0002.npz"))
+
+
 def test_train_instance(data, tmp_path):
     import train_instance as script
     files = vxm.py.utils.read_file_list(str(data / "list.txt"))
