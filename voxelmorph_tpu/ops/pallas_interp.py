@@ -24,10 +24,21 @@ slab into VMEM ONCE and accumulates all (2h+1)^3 terms on the VPU, so HBM
 traffic is ~(read vol + read shift + write out) regardless of h, and the
 backward pass is the same single-pass structure (no scatters).
 
-The kernel processes the volume in z-slabs: grid = (num_slabs,); each step
-sees an overlapping (TZ + 2p, H + 2p, W + 2p) window of the edge-padded
-input (p = h) and writes a (TZ, H, W) output block. Channels are looped
-inside the kernel (C is small: 1 for images, 3 for SVF fields).
+Kernel layout (v2, measured ~30x the v1 Element-spec design)
+------------------------------------------------------------
+The volume is processed in z-slabs. All operands of a slab — the volume
+channels plus the three displacement components (plus the cotangent in the
+backward) — are PACKED into one channel axis and pre-windowed host-side into
+a (grid, C_packed, TZ + 2p, H + 2p, W + 2p) array of overlapping windows, so
+every pallas input/output uses plain BLOCK-indexed specs. That matters on
+TPU: element-offset specs (the v1 design: `pl.Element` windows sharing their
+halo in HBM) disable Mosaic's pipelined double-buffered DMA, serializing
+every window fetch behind the compute; block specs restore the pipeline, and
+the window materialization costs only an extra (tz+2p)/tz ~ 1.2-1.5x
+sequential read that XLA fuses into one pass. Triangle weights are computed
+ONCE per tap offset and applied to every channel (v1 recomputed them per
+channel). ALL tap offsets are statically unrolled into vector shifts —
+dynamic-start slices inside a fori_loop measured ~100x slower on Mosaic.
 
 Edge semantics match ops.interp.interpn: sampling coordinates are clamped to
 [0, dim-1] (the pre-pad is edge-replicated so clamped taps read edge values).
@@ -84,41 +95,55 @@ def kernel_vmem_fits(spatial, nch: int, halo: int) -> bool:
     hwp = (H + 2 * p) * (W + 2 * p) * 4
     hw = H * W * 4
     win_z = tz + 2 * p
-    fwd = (2 * (nch * win_z * hwp + 3 * tz * hw + nch * tz * hw)
+    fwd = (2 * ((nch + 3) * win_z * hwp + nch * tz * hw)
            + tz * hw * (n_off ** 2 + 8))
-    bwd = (2 * ((2 * nch + 3) * win_z * hwp + nch * tz * hw + 3 * tz * hw)
+    bwd = (2 * ((2 * nch + 3) * win_z * hwp + (nch + 3) * tz * hw)
            + tz * hw * (n_off ** 2 + 2 * nch + 10))
     return max(fwd, bwd) <= 10 * 1024 * 1024
 
 
-def _pick_tz(d: int, h: int, hw_bytes: int, nch: int, budget=6 * 1024 * 1024):
-    """Choose the z-slab size: as large as fits the VMEM budget and divides
-    reasonably; the grid covers D with ceil-division and a masked tail.
-    The budget accounts for the input window plus the (2h+1)^2 live
-    (tz, H, W) temporaries of the unrolled inner accumulation."""
+def _pick_tz(d: int, h: int, hw_bytes: int, n_win_ch: int, n_tmp: int,
+             budget=6 * 1024 * 1024):
+    """Choose the z-slab size: as large as fits the VMEM budget.
+
+    n_win_ch: packed channels of the input window (double-buffered by
+    Mosaic); n_tmp: live (tz, H, W) temporaries of the unrolled inner
+    accumulation. The grid covers D with ceil-division and a masked tail.
+    """
     pad = 2 * h
-    n_off = 2 * h + 1
     for tz in (16, 8, 4, 2, 1):
         if tz > d:
             continue
-        win_bytes = (tz + pad) * hw_bytes * nch  # input window
-        tmp_bytes = tz * hw_bytes * (n_off * n_off + 8)
+        win_bytes = 2 * (tz + pad) * hw_bytes * n_win_ch
+        tmp_bytes = tz * (hw_bytes) * n_tmp
         if win_bytes + tmp_bytes <= budget:
             return tz
     return 1
 
 
-def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
+def _window_stack(arr, tz: int, p: int, grid: int):
+    """(C, d_pad + 2p, Hp, Wp) -> (grid, C, tz + 2p, Hp, Wp) overlapping
+    windows; XLA fuses the slice-stack into one strided read."""
+    return jnp.stack([
+        jax.lax.dynamic_slice_in_dim(arr, i * tz, tz + 2 * p, axis=1)
+        for i in range(grid)], 0)
+
+
+def _tri(d, o):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+
+
+def _dtri(d, o):
+    return jnp.where(jnp.abs(d - o) < 1.0, -jnp.sign(d - o), 0.0)
+
+
+def _warp_kernel(h, tz, spatial, nch, win_ref, out_ref):
     """One z-slab: accumulate the (2h+1)^3 shifted-slice terms in VMEM.
 
-    vol_ref: (C, TZ+2p, H+2p, W+2p) edge-padded input window
-    s*_ref:  (TZ, H, W) per-axis displacement components
-    out_ref: (C, TZ, H, W)
-
-    The z offsets run in a fori_loop — z is an untiled dim, so a dynamic
-    slice start is legal there; the (y, x) offsets are unrolled with STATIC
-    (if unaligned) starts, which Mosaic lowers to vector shifts. This bounds
-    live VMEM temporaries to one z-window plus the (2h+1)^2 inner terms.
+    win_ref: (1, nch+3, TZ+2p, H+2p, W+2p) packed window — channels
+             [0, nch) the edge-padded volume, [nch, nch+3) the zero-padded
+             displacement components.
+    out_ref: (1, nch, TZ, H, W)
     """
     import jax.experimental.pallas as pl
 
@@ -131,90 +156,81 @@ def _warp_kernel(h, tz, spatial, nch, vol_ref, sz_ref, sy_ref, sx_ref, out_ref):
     # |d_eff| <= h everywhere given the caller's |shift| <= h guard
     fiota = lambda d: jax.lax.broadcasted_iota(
         jnp.int32, (tz, H, W), d).astype(jnp.float32)
+    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + H, p:p + W]
     z_base = (i * tz).astype(jnp.float32) + fiota(0)
-    dz = jnp.clip(z_base + sz_ref[...], 0.0, D - 1.0) - z_base
+    dz = jnp.clip(z_base + ctr(nch), 0.0, D - 1.0) - z_base
     y_base = fiota(1)
-    dy = jnp.clip(y_base + sy_ref[...], 0.0, H - 1.0) - y_base
+    dy = jnp.clip(y_base + ctr(nch + 1), 0.0, H - 1.0) - y_base
     x_base = fiota(2)
-    dx = jnp.clip(x_base + sx_ref[...], 0.0, W - 1.0) - x_base
+    dx = jnp.clip(x_base + ctr(nch + 2), 0.0, W - 1.0) - x_base
 
-    tri = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
-
+    # all offsets statically unrolled: dynamic-start (pl.ds) slices inside a
+    # fori_loop defeat Mosaic's vectorization here (measured ~100x slower),
+    # while the static-slice unroll lowers to plain vector shifts
+    accs = tuple(jnp.zeros((tz, H, W), jnp.float32) for _ in range(nch))
+    for oz in range(-h, h + 1):
+        wz = _tri(dz, float(oz))
+        for oy in range(-h, h + 1):
+            wzy = wz * _tri(dy, float(oy))
+            for ox in range(-h, h + 1):
+                # weights once per offset, applied to every channel
+                w = wzy * _tri(dx, float(ox))
+                accs = tuple(
+                    acc + w * win_ref[0, c, p + oz:p + oz + tz,
+                                      p + oy:p + oy + H, p + ox:p + ox + W]
+                    for c, acc in enumerate(accs))
     for c in range(nch):
-        def body(k, acc):
-            oz = k - h
-            wz = tri(dz, oz.astype(jnp.float32))
-            # one dynamically-offset z window; (tz, H+2p, W+2p)
-            zwin = vol_ref[c, pl.ds(p + oz, tz), :, :]
-            for oy in range(-h, h + 1):
-                wzy = wz * tri(dy, float(oy))
-                for ox in range(-h, h + 1):
-                    w = wzy * tri(dx, float(ox))
-                    tap = zwin[:, p + oy:p + oy + H, p + ox:p + ox + W]
-                    acc = acc + w * tap
-            return acc
-
-        out_ref[c] = jax.lax.fori_loop(
-            0, n_off, body, jnp.zeros((tz, H, W), jnp.float32))
+        out_ref[0, c] = accs[c]
 
 
 def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
     """vol_cf: (C, D, H, W) float32; s*: (D, H, W). Returns (C, D, H, W)."""
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     nch, D, H, W = vol_cf.shape
     p = h
-    tz = _pick_tz(D, h, (H + 2 * p) * (W + 2 * p) * 4, nch)
+    hwp = (H + 2 * p) * (W + 2 * p) * 4
+    tz = _pick_tz(D, h, hwp, n_win_ch=nch + 3,
+                  n_tmp=(2 * h + 1) ** 2 + nch + 8)
     grid = (D + tz - 1) // tz
     d_pad = grid * tz  # pad D so every slab is full-size
 
-    pads = [(0, 0), (p, p + (d_pad - D)), (p, p), (p, p)]
-    vol_p = jnp.pad(vol_cf, pads, mode="edge")
-    spads = [(0, d_pad - D), (0, 0), (0, 0)]
-    sz_p = jnp.pad(sz, spads)
-    sy_p = jnp.pad(sy, spads)
-    sx_p = jnp.pad(sx, spads)
+    pads3 = [(p, p + (d_pad - D)), (p, p), (p, p)]
+    vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
+    s_p = jnp.stack([jnp.pad(s, pads3) for s in (sz, sy, sx)], 0)
+    wins = _window_stack(jnp.concatenate([vol_p, s_p], 0), tz, p, grid)
 
     kernel = functools.partial(_warp_kernel, h, tz, (D, H, W), nch)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            # overlapping input windows: element-offset indexing (pl.Element)
-            # so consecutive slabs share their z halo (Mosaic requires all
-            # dims to be Element when any is)
-            pl.BlockSpec((pl.Element(nch), pl.Element(tz + 2 * p),
-                          pl.Element(H + 2 * p), pl.Element(W + 2 * p)),
-                         lambda i: (0, i * tz, 0, 0)),
-            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nch, d_pad, H, W), jnp.float32),
+        in_specs=[pl.BlockSpec((1, nch + 3, tz + 2 * p, H + 2 * p, W + 2 * p),
+                               lambda i: (i, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, nch, tz, H, W),
+                               lambda i: (i, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, nch, tz, H, W), jnp.float32),
         interpret=_INTERPRET,
-    )(vol_p, sz_p, sy_p, sx_p)
-    return out[:, :D]
+    )(wins)
+    return out.transpose(1, 0, 2, 3, 4).reshape(nch, d_pad, H, W)[:, :D]
 
 
 # ------------------------------------------------------------ backward kernel
 
-def _bwd_kernel(h, tz, spatial, nch,
-                vol_ref, g_ref, sz_ref, sy_ref, sx_ref,
-                dvol_ref, dsz_ref, dsy_ref, dsx_ref):
+def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
     """One z-slab of the warp VJP.
 
-    All inputs are (…, tz+2p, H+2p, W+2p) element-offset windows over arrays
-    padded by p (vol edge-padded; g and the shift fields zero-padded).
+    win_ref: (1, 2*nch+3, TZ+2p, H+2p, W+2p) packed window — channels
+             [0, nch) the edge-padded volume, [nch, 2*nch) the zero-padded
+             cotangent g, [2*nch, 2*nch+3) the zero-padded shift components.
+    out_ref: (1, nch+3, TZ, H, W) — [0, nch) dvol, [nch, nch+3) dshift.
 
       d vol[u]     = sum_o w_o(u - o) g(u - o)
       d shift_a(x) = [not clamped]_a(x) * sum_o (dw_o/dd_a)(x) vol[x + o] . g(x)
 
     The dvol terms slice every input at the FLIPPED offset and recompute the
     weights there (slab-sized temporaries only); the dshift terms use the
-    slab-centered fields. z offsets run in a fori_loop (dynamic start on the
-    untiled dim), y/x offsets are static unrolled.
+    slab-centered fields. All offsets are statically unrolled; triangle
+    weights are computed once per offset and shared across channels.
     """
     import jax.experimental.pallas as pl
 
@@ -222,15 +238,16 @@ def _bwd_kernel(h, tz, spatial, nch,
     p = h
     n_off = 2 * h + 1
     i = pl.program_id(0)
+    cg = nch       # g channel base
+    cs = 2 * nch   # shift channel base
 
     iota = lambda d: jax.lax.broadcasted_iota(jnp.int32, (tz, H, W), d)
-    z0i = i * tz + iota(0)  # global z of each slab voxel (int)
-    z0 = z0i.astype(jnp.float32)
+    z0 = (i * tz + iota(0)).astype(jnp.float32)
     y0 = iota(1).astype(jnp.float32)
     x0 = iota(2).astype(jnp.float32)
 
-    ctr = lambda ref: ref[pl.ds(p, tz), p:p + H, p:p + W]
-    sz0, sy0, sx0 = ctr(sz_ref), ctr(sy_ref), ctr(sx_ref)
+    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + H, p:p + W]
+    sz0, sy0, sx0 = ctr(cs), ctr(cs + 1), ctr(cs + 2)
     dz0 = jnp.clip(z0 + sz0, 0.0, D - 1.0) - z0
     dy0 = jnp.clip(y0 + sy0, 0.0, H - 1.0) - y0
     dx0 = jnp.clip(x0 + sx0, 0.0, W - 1.0) - x0
@@ -238,18 +255,18 @@ def _bwd_kernel(h, tz, spatial, nch,
     in_z = ((z0 + sz0) > 0.0) & ((z0 + sz0) < D - 1.0)
     in_y = ((y0 + sy0) > 0.0) & ((y0 + sy0) < H - 1.0)
     in_x = ((x0 + sx0) > 0.0) & ((x0 + sx0) < W - 1.0)
-    g0 = [g_ref[c, pl.ds(p, tz), p:p + H, p:p + W] for c in range(nch)]
+    g0 = [ctr(cg + c) for c in range(nch)]
 
-    tri = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
-    dtri = lambda d, o: jnp.where(jnp.abs(d - o) < 1.0, -jnp.sign(d - o), 0.0)
     zeros = lambda: jnp.zeros((tz, H, W), jnp.float32)
 
-    def body(k, carry):
-        dvol, dsz, dsy, dsx = carry
-        oz = k - h
-        ozf = oz.astype(jnp.float32)
+    dvol = [zeros() for _ in range(nch)]
+    dsz, dsy, dsx = zeros(), zeros(), zeros()
+    # offsets statically unrolled (see the forward kernel's note: dynamic
+    # pl.ds starts in a fori_loop measured ~100x slower than static slices)
+    for oz in range(-h, h + 1):
+        ozf = float(oz)
         # --- dvol: read everything at the flipped offset (y - o) ---
-        zs = pl.ds(p - oz, tz)
+        zs = slice(p - oz, p - oz + tz)
         zq = z0 - ozf  # global z of the source position y - o
         for oy in range(-h, h + 1):
             for ox in range(-h, h + 1):
@@ -259,42 +276,39 @@ def _bwd_kernel(h, tz, spatial, nch,
                 xq = x0 - float(ox)
                 valid = ((zq >= 0.0) & (zq <= D - 1.0) & (yq >= 0.0)
                          & (yq <= H - 1.0) & (xq >= 0.0) & (xq <= W - 1.0))
-                szq = sz_ref[zs, ysl, xsl]
-                syq = sy_ref[zs, ysl, xsl]
-                sxq = sx_ref[zs, ysl, xsl]
+                szq = win_ref[0, cs, zs, ysl, xsl]
+                syq = win_ref[0, cs + 1, zs, ysl, xsl]
+                sxq = win_ref[0, cs + 2, zs, ysl, xsl]
                 dzq = jnp.clip(zq + szq, 0.0, D - 1.0) - zq
                 dyq = jnp.clip(yq + syq, 0.0, H - 1.0) - yq
                 dxq = jnp.clip(xq + sxq, 0.0, W - 1.0) - xq
                 w = jnp.where(valid,
-                              tri(dzq, ozf) * tri(dyq, float(oy))
-                              * tri(dxq, float(ox)), 0.0)
-                dvol = [dv + w * g_ref[c, zs, ysl, xsl]
+                              _tri(dzq, ozf) * _tri(dyq, float(oy))
+                              * _tri(dxq, float(ox)), 0.0)
+                dvol = [dv + w * win_ref[0, cg + c, zs, ysl, xsl]
                         for c, dv in enumerate(dvol)]
 
         # --- dshift: same-position weights, taps at + offset ---
-        zs2 = pl.ds(p + oz, tz)
-        wz, dwz = tri(dz0, ozf), dtri(dz0, ozf)
+        zs2 = slice(p + oz, p + oz + tz)
+        wz, dwz = _tri(dz0, ozf), _dtri(dz0, ozf)
         for oy in range(-h, h + 1):
-            wy, dwy = tri(dy0, float(oy)), dtri(dy0, float(oy))
+            wy, dwy = _tri(dy0, float(oy)), _dtri(dy0, float(oy))
             for ox in range(-h, h + 1):
-                wx, dwx = tri(dx0, float(ox)), dtri(dx0, float(ox))
+                wx, dwx = _tri(dx0, float(ox)), _dtri(dx0, float(ox))
                 ysl = slice(p + oy, p + oy + H)
                 xsl = slice(p + ox, p + ox + W)
                 gv = zeros()
                 for c in range(nch):
-                    gv = gv + g0[c] * vol_ref[c, zs2, ysl, xsl]
+                    gv = gv + g0[c] * win_ref[0, c, zs2, ysl, xsl]
                 dsz = dsz + gv * dwz * wy * wx
                 dsy = dsy + gv * wz * dwy * wx
                 dsx = dsx + gv * wz * wy * dwx
-        return dvol, dsz, dsy, dsx
 
-    dvol, dsz, dsy, dsx = jax.lax.fori_loop(
-        0, n_off, body, ([zeros() for _ in range(nch)], zeros(), zeros(), zeros()))
     for c in range(nch):
-        dvol_ref[c] = dvol[c]
-    dsz_ref[...] = jnp.where(in_z, dsz, 0.0)
-    dsy_ref[...] = jnp.where(in_y, dsy, 0.0)
-    dsx_ref[...] = jnp.where(in_x, dsx, 0.0)
+        out_ref[0, c] = dvol[c]
+    out_ref[0, nch] = jnp.where(in_z, dsz, 0.0)
+    out_ref[0, nch + 1] = jnp.where(in_y, dsy, 0.0)
+    out_ref[0, nch + 2] = jnp.where(in_x, dsx, 0.0)
 
 
 def _bwd_impl_pallas(vol_cf, shift, g, h: int):
@@ -303,60 +317,34 @@ def _bwd_impl_pallas(vol_cf, shift, g, h: int):
     nch, D, H, W = vol_cf.shape
     p = h
     n_off = 2 * h + 1
-    hw = (H + 2 * p) * (W + 2 * p) * 4
-    # window arrays: vol + g (nch each) + 3 shift fields; slab temps — Mosaic
-    # keeps roughly the full inner-unroll live set on its stack, so budget
-    # conservatively (measured: the 16M scoped-vmem limit binds well before
-    # the analytic estimate)
-    budget = 6 * 1024 * 1024
-    tz = 1
-    for cand in (16, 8, 4, 2, 1):
-        if cand > D:
-            continue
-        win = (cand + 2 * p) * hw * (2 * nch + 3)
-        tmp = cand * hw * (n_off * n_off + 2 * nch + 10)
-        if win + tmp <= budget:
-            tz = cand
-            break
+    hwp = (H + 2 * p) * (W + 2 * p) * 4
+    tz = _pick_tz(D, h, hwp, n_win_ch=2 * nch + 3,
+                  n_tmp=n_off ** 2 + 2 * nch + 10)
     grid = (D + tz - 1) // tz
     d_pad = grid * tz
 
     pads3 = [(p, p + (d_pad - D)), (p, p), (p, p)]
     vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
     g_p = jnp.pad(g, [(0, 0)] + pads3)
-    sz_p = jnp.pad(shift[..., 0], pads3)
-    sy_p = jnp.pad(shift[..., 1], pads3)
-    sx_p = jnp.pad(shift[..., 2], pads3)
-
-    win_z = tz + 2 * p
-    vol_spec = pl.BlockSpec(
-        (pl.Element(nch), pl.Element(win_z), pl.Element(H + 2 * p),
-         pl.Element(W + 2 * p)), lambda i: (0, i * tz, 0, 0))
-    s_spec = pl.BlockSpec(
-        (pl.Element(win_z), pl.Element(H + 2 * p), pl.Element(W + 2 * p)),
-        lambda i: (i * tz, 0, 0))
+    s_p = jnp.stack([jnp.pad(shift[..., a], pads3) for a in range(3)], 0)
+    wins = _window_stack(jnp.concatenate([vol_p, g_p, s_p], 0), tz, p, grid)
 
     kernel = functools.partial(_bwd_kernel, h, tz, (D, H, W), nch)
-    dvol, dsz, dsy, dsx = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[vol_spec, vol_spec, s_spec, s_spec, s_spec],
-        out_specs=[
-            pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
-            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
-            pl.BlockSpec((tz, H, W), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nch, d_pad, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((d_pad, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((d_pad, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((d_pad, H, W), jnp.float32),
-        ],
+        in_specs=[pl.BlockSpec(
+            (1, 2 * nch + 3, tz + 2 * p, H + 2 * p, W + 2 * p),
+            lambda i: (i, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, nch + 3, tz, H, W),
+                               lambda i: (i, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, nch + 3, tz, H, W), jnp.float32),
         interpret=_INTERPRET,
-    )(vol_p, g_p, sz_p, sy_p, sx_p)
-    dshift = jnp.stack([dsz[:D], dsy[:D], dsx[:D]], axis=-1)
-    return dvol[:, :D], dshift
+    )(wins)
+    out = out.transpose(1, 0, 2, 3, 4).reshape(nch + 3, d_pad, H, W)[:, :D]
+    dvol = out[:nch]
+    dshift = jnp.moveaxis(out[nch:], 0, -1)
+    return dvol, dshift
 
 
 # ---------------------------------------------------------------- custom VJP
@@ -375,11 +363,9 @@ def _warp_cf_fwd(vol_cf, shift, h):
 def _warp_cf_bwd(h, res, g):
     """Production backward: the Pallas kernel (default).
 
-    Measured warm on v5e at 80x96x112x3, halo 1, chained-probe timing:
-    Pallas 2.1ms vs 4.0ms for the XLA shifted-slice formulation (1.9x).
-    VXM_PALLAS_BWD=0 falls back to the XLA version (also the path taken on
-    hosts without the TPU backend, where the forward itself only runs under
-    the Pallas interpreter).
+    VXM_PALLAS_BWD=0 falls back to the XLA shifted-slice version (also the
+    path taken on hosts without the TPU backend, where the forward itself
+    only runs under the Pallas interpreter).
     """
     vol_cf, shift = res
     if os.environ.get("VXM_PALLAS_BWD", "1") == "0":
@@ -409,9 +395,8 @@ def _warp_cf_bwd_ref(h, res, g):
     pads3 = [(p, p)] * 3
     vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
 
-    tri = lambda d, o: jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
-    # derivative of the triangle kernel (sign convention: d/dd)
-    dtri = lambda d, o: jnp.where(jnp.abs(d - o) < 1.0, -jnp.sign(d - o), 0.0)
+    tri = _tri
+    dtri = _dtri
 
     dvol = jnp.zeros_like(vol_cf)
     dshift = jnp.zeros_like(shift)
