@@ -263,31 +263,35 @@ def main(argv=None):
     voxels = float(D * H * W)
     traffic = voxels * 4 * (args.nch * 2 + 3)
 
-    def timeit(fn):
+    # IMPORTANT: every timed fn takes its operands as real jit ARGUMENTS.
+    # Zero-arg closures embed the volumes as compile-time constants, and the
+    # resulting timings are artifacts (measured 20-600x off on the tunneled
+    # backend) — see scripts/pallas_probe.py.
+    def timeit(fn, *fargs):
         for _ in range(3):
-            jax.block_until_ready(fn())
+            jax.block_until_ready(fn(*fargs))
         acc = jnp.zeros(())
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            acc = acc + jnp.sum(fn()[0, ::32, ::32, ::32])
+            acc = acc + jnp.sum(fn(*fargs)[0, ::32, ::32, ::32])
         float(acc)
         return (time.perf_counter() - t0) / args.iters
 
     results = {}
     # production baselines
     if pallas_interp.pallas_available() or interpret:
-        f = jax.jit(lambda: pallas_interp._warp_bounded_cf(vol_cf, shift, args.halo))
-        out = np.asarray(jnp.moveaxis(f(), 0, -1))
+        f = jax.jit(lambda vc, s: pallas_interp._warp_bounded_cf(vc, s, args.halo))
+        out = np.asarray(jnp.moveaxis(f(vol_cf, shift), 0, -1))
         err = float(np.max(np.abs(out - ref)))
         assert err < 1e-4, f"production kernel mismatch {err}"
         if not args.check_only:
-            t = timeit(f)
+            t = timeit(f, vol_cf, shift)
             results["prod"] = {"ms": round(t * 1e3, 3),
                                "gbps": round(traffic / t / 1e9, 1)}
-    g = jax.jit(lambda: jnp.moveaxis(
-        warp_ops.windowed_transform(vol, shift, args.halo), -1, 0))
+    g = jax.jit(lambda v, s: jnp.moveaxis(
+        warp_ops.windowed_transform(v, s, args.halo), -1, 0))
     if not args.check_only:
-        t = timeit(g)
+        t = timeit(g, vol, shift)
         results["xla_slices"] = {"ms": round(t * 1e3, 3),
                                  "gbps": round(traffic / t / 1e9, 1)}
 
@@ -295,10 +299,10 @@ def main(argv=None):
         fn = VARIANTS[name]
         for tz in args.tz:
             impl = jax.jit(functools.partial(
-                fn, vol_cf, sz, sy, sx, args.halo, tz=tz, interpret=interpret))
+                fn, h=args.halo, tz=tz, interpret=interpret))
             key = f"{name}_tz{tz}"
             try:
-                out = np.asarray(jnp.moveaxis(impl(), 0, -1))
+                out = np.asarray(jnp.moveaxis(impl(vol_cf, sz, sy, sx), 0, -1))
                 err = float(np.max(np.abs(out - ref)))
                 if err > 1e-4:
                     results[key] = f"WRONG: max err {err:.2e}"
@@ -306,7 +310,7 @@ def main(argv=None):
                 if args.check_only:
                     results[key] = "ok"
                     continue
-                t = timeit(impl)
+                t = timeit(impl, vol_cf, sz, sy, sx)
                 results[key] = {"ms": round(t * 1e3, 3),
                                 "gbps": round(traffic / t / 1e9, 1)}
             except Exception as e:
