@@ -44,6 +44,11 @@ def parse_args(argv=None):
     parser.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate (default: 1e-4)')
     parser.add_argument('--spatial-shard', action='store_true',
                         help='also shard the first spatial axis across the mesh space axis')
+    parser.add_argument('--steps-per-dispatch', type=int, default=None,
+                        help='with --cache-device: run this many train steps '
+                             'per device dispatch via lax.scan (0 = whole '
+                             'epoch); amortizes the per-dispatch host round '
+                             'trip on tunneled/remote TPUs')
     parser.add_argument('--cache-device', action='store_true',
                         help='preload the whole training set into device HBM and '
                              'sample pairs on-device (removes per-step host transfers)')
@@ -174,6 +179,22 @@ def main(argv=None):
     from voxelmorph_tpu.training import init_or_resume
     args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
                                         tuple(sample[0]), args.initial_epoch)
+
+    if args.steps_per_dispatch is not None:
+        if not args.cache_device:
+            raise SystemExit('--steps-per-dispatch requires --cache-device')
+        from voxelmorph_tpu.training import load_volume_stack
+        data = load_volume_stack(train_files, add_feat_axis=add_feat_axis)
+        # +1: the shape-probing `sample = next(generator)` consumed stream
+        # step 0, matching the per-step path's sequence exactly
+        trainer.fit_cached_pairs(
+            data, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+            steps_per_dispatch=args.steps_per_dispatch,
+            batch_size=args.batch_size, bidir=args.bidir, atlas=atlas,
+            start_step=args.initial_epoch * args.steps_per_epoch + 1,
+            initial_epoch=args.initial_epoch, model_dir=args.model_dir,
+            save_freq_epochs=20)
+        return
 
     if args.cache_device and args.initial_epoch:
         # rebuild the device-cached stream at the resumed position so a

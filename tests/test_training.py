@@ -518,3 +518,73 @@ def test_scanned_cached_label_fit_matches_per_step(tmp_path):
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_scanned_cached_pair_fit_matches_per_step(tmp_path):
+    """The lax.scan multi-step dispatch (fit_cached_pairs) must reproduce
+    the per-step device_cached_pair_generator path exactly: same sample
+    sequence, same rng folding, same params after N steps."""
+    from voxelmorph_tpu.training import (device_cached_pair_generator,
+                                         load_volume_stack)
+
+    files = []
+    for i in range(4):
+        path = str(tmp_path / f"scan{i}.npz")
+        np.savez(path, vol=RNG.normal(size=SHAPE).astype(np.float32))
+        files.append(path)
+
+    def make_trainer():
+        return Trainer(_model(), _terms(), lr=1e-3, seed=5)
+
+    # per-step path, stream starting at 1 (the CLI's shape probe burns 0)
+    t1 = make_trainer()
+    gen = device_cached_pair_generator(files, batch_size=1, start_step=1)
+    probe = np.zeros((1, *SHAPE, 1), np.float32)
+    t1.init((probe, probe))
+    for _ in range(6):
+        inputs, targets = next(gen)
+        t1.train_step(inputs, targets)
+
+    # scanned path: 6 steps in 2 dispatches of 3
+    t2 = make_trainer()
+    t2.fit_cached_pairs(load_volume_stack(files), epochs=1, steps_per_epoch=6,
+                        steps_per_dispatch=3, batch_size=1, start_step=1,
+                        model_dir=None, log_fn=lambda s: None)
+
+    assert t2.global_step == 6
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_scanned_cached_pair_fit_atlas_mode(tmp_path):
+    """Scan-to-atlas scanned dispatch: same parity contract."""
+    from voxelmorph_tpu.training import (device_cached_pair_generator,
+                                         load_volume_stack)
+
+    files = []
+    for i in range(3):
+        path = str(tmp_path / f"scan{i}.npz")
+        np.savez(path, vol=RNG.normal(size=SHAPE).astype(np.float32))
+        files.append(path)
+    atlas = RNG.normal(size=(1, *SHAPE, 1)).astype(np.float32)
+
+    t1 = Trainer(_model(), _terms(), lr=1e-3, seed=5)
+    gen = device_cached_pair_generator(files, batch_size=1, atlas=atlas[0],
+                                       start_step=1)
+    probe = np.zeros((1, *SHAPE, 1), np.float32)
+    t1.init((probe, probe))
+    for _ in range(4):
+        inputs, targets = next(gen)
+        t1.train_step(inputs, targets)
+
+    t2 = Trainer(_model(), _terms(), lr=1e-3, seed=5)
+    t2.fit_cached_pairs(load_volume_stack(files), epochs=1, steps_per_epoch=4,
+                        steps_per_dispatch=2, batch_size=1, atlas=atlas[0],
+                        start_step=1, model_dir=None, log_fn=lambda s: None)
+
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -173,6 +173,62 @@ def make_scanned_cached_label_step(model, loss_terms: Sequence[LossTerm], tx,
     return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
 
+def make_scanned_cached_pair_step(model, loss_terms: Sequence[LossTerm], tx,
+                                  batch_size: int, bidir: bool = False,
+                                  atlas: bool = False,
+                                  needs_sample_rng: bool = False,
+                                  rng_names: Sequence[str] = ()):
+    """K train steps per device dispatch over an HBM-resident volume stack.
+
+    The pair-registration counterpart of make_scanned_cached_label_step: the
+    ``lax.scan`` body gathers its (src, trg) batch from the cached stack by
+    index (scan-to-scan) or pairs it with a device-resident atlas
+    (scan-to-atlas), then runs fwd+bwd+update. The host streams only the
+    (K, 2B) — (K, B) for atlas — int32 picks per dispatch, drawn from
+    device_cached_pair_indices, so the sample sequence (and resume replay)
+    is byte-identical to the per-step device_cached_pair_generator path.
+
+    Returns jitted fn(params, state, opt_state, base_rng, step0, data,
+    atlas_dev, picks) -> (params, state, opt_state, last_metrics); pass
+    atlas_dev=() when atlas=False (jit requires a stable pytree).
+    """
+    loss_fn = make_loss_fn(model, loss_terms, needs_sample_rng=needs_sample_rng,
+                           rng_names=rng_names)
+
+    def multi_step(params, state, opt_state, base_rng, step0, data,
+                   atlas_dev, picks):
+        nd = data.ndim - 2
+        void = jnp.zeros((batch_size, *data.shape[1:-1], nd), jnp.float32)
+
+        def body(carry, xs):
+            params, state, opt_state = carry
+            step, pk = xs
+            rng = jax.random.fold_in(base_rng, step)
+            if atlas:
+                src = jnp.take(data, pk, axis=0)
+                trg = atlas_dev
+            else:
+                src = jnp.take(data, pk[:batch_size], axis=0)
+                trg = jnp.take(data, pk[batch_size:], axis=0)
+            inputs = (src, trg)
+            targets = (trg, src, void) if bidir else (trg, void)
+            grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (metrics, new_state)), grads = grads_fn(
+                params, state, inputs, targets, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), metrics
+
+        k = picks.shape[0]
+        steps = step0 + jnp.arange(k, dtype=jnp.int32)
+        (params, state, opt_state), metrics = jax.lax.scan(
+            body, (params, state, opt_state), (steps, picks))
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return params, state, opt_state, last
+
+    return jax.jit(multi_step, donate_argnums=(0, 1, 2))
+
+
 def find_latest_checkpoint(model_dir: str):
     """Return (path, epoch) of the newest numbered checkpoint, or (None, 0).
 
@@ -234,11 +290,8 @@ def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False
     batch sequence the uninterrupted run would have seen.
     """
     import jax.numpy as jnp
-    from .py import utils as py_utils
 
-    vols = [py_utils.load_volfile(f, np_var="vol", add_batch_axis=True,
-                                  add_feat_axis=add_feat_axis) for f in files]
-    data = jnp.concatenate([jnp.asarray(v, jnp.float32) for v in vols], axis=0)
+    data = load_volume_stack(files, add_feat_axis=add_feat_axis)
     n = data.shape[0]
     spatial = data.shape[1:-1]
     zeros = jnp.zeros((batch_size, *spatial, len(spatial)), jnp.float32)
@@ -247,19 +300,43 @@ def device_cached_pair_generator(files, batch_size: int = 1, bidir: bool = False
         atlas_dev = jnp.broadcast_to(jnp.asarray(atlas, jnp.float32),
                                      (batch_size, *spatial, atlas.shape[-1]))
 
-    step = start_step
-    while True:
-        rng = np.random.default_rng((seed, step))
+    stream = device_cached_pair_indices(
+        n, batch_size=batch_size, atlas=atlas_dev is not None, seed=seed,
+        start_step=start_step)
+    for idx in stream:
         if atlas_dev is not None:
-            src = jnp.take(data, rng.integers(n, size=batch_size), axis=0)
+            src = jnp.take(data, idx, axis=0)
             trg = atlas_dev
         else:
-            idx = rng.integers(n, size=2 * batch_size)
             src = jnp.take(data, idx[:batch_size], axis=0)
             trg = jnp.take(data, idx[batch_size:], axis=0)
         targets = [trg, src, zeros] if bidir else [trg, zeros]
-        step += 1
         yield [src, trg], targets
+
+
+def device_cached_pair_indices(n: int, batch_size: int = 1, atlas: bool = False,
+                               seed: int = 0, start_step: int = 0):
+    """The sampling stream behind device_cached_pair_generator: yields the
+    per-step picks ((B,) int32 scan-to-atlas, (2B,) scan-to-scan). Stateless
+    per step (numpy rng keyed by (seed, step)), so a resumed run — or the
+    scanned multi-step path, which consumes the SAME stream — replays the
+    exact sample sequence of the per-step path."""
+    size = batch_size if atlas else 2 * batch_size
+    step = start_step
+    while True:
+        rng = np.random.default_rng((seed, step))
+        yield rng.integers(n, size=size).astype(np.int32)
+        step += 1
+
+
+def load_volume_stack(files, add_feat_axis: bool = True):
+    """Load a file list into one (N, *spatial, C) float32 device stack."""
+    import jax.numpy as jnp
+    from .py import utils as py_utils
+
+    vols = [py_utils.load_volfile(f, np_var="vol", add_batch_axis=True,
+                                  add_feat_axis=add_feat_axis) for f in files]
+    return jnp.concatenate([jnp.asarray(v, jnp.float32) for v in vols], axis=0)
 
 
 def device_cached_semisupervised_generator(files, labels, downsize: int = 2,
@@ -632,6 +709,87 @@ class Trainer:
                         self.params, self.state, self.opt_state,
                         self.base_rng, step0, data,
                         np.stack(pk), np.stack(fl))
+                    self.global_step += steps_per_dispatch
+                last_metrics = {k: float(v) for k, v in last_metrics.items()}
+                dt = time.time() - t0
+                msg = " - ".join(f"{k}: {v:.6f}"
+                                 for k, v in sorted(last_metrics.items()))
+                log_fn(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, "
+                       f"{steps_per_epoch / dt:.2f} steps/s] {msg}")
+                logger.log(epoch + 1, last_metrics, dt)
+                if model_dir and ((epoch + 1) % save_freq_epochs == 0
+                                  or epoch + 1 == epochs):
+                    self.save(os.path.join(
+                        model_dir, save_filename.format(epoch=epoch + 1)),
+                        wait=False)
+                elif getattr(self, "_save_error", None) is not None:
+                    self.wait_for_saves()
+            self.wait_for_saves()
+        finally:
+            logger.close()
+        return last_metrics
+
+    def fit_cached_pairs(self, data, epochs: int, steps_per_epoch: int,
+                         steps_per_dispatch: int = 0, batch_size: int = 1,
+                         bidir: bool = False, atlas=None, seed: int = 0,
+                         start_step: Optional[int] = None,
+                         initial_epoch: int = 0, model_dir: Optional[str] = None,
+                         save_freq_epochs: int = 20,
+                         save_filename: str = "{epoch:04d}.npz",
+                         log_fn: Callable[[str], None] = print,
+                         metrics_csv: Optional[str] = None):
+        """Scanned fit over an HBM-resident volume stack (pair registration).
+
+        Runs ``steps_per_dispatch`` train steps per device round trip (one
+        ``lax.scan`` dispatch; default: a whole epoch) — see
+        make_scanned_cached_pair_step. The host streams only sample indices;
+        the sample sequence is exactly the per-step
+        device_cached_pair_generator stream, so checkpoints from either path
+        resume interchangeably.
+
+        data: (N, *spatial, C) float32 stack (load_volume_stack);
+        atlas: optional (*spatial, C) target volume (scan-to-atlas mode).
+        """
+        steps_per_dispatch = steps_per_dispatch or steps_per_epoch
+        assert steps_per_epoch % steps_per_dispatch == 0, (
+            "steps_per_epoch must be a multiple of steps_per_dispatch")
+        data = jnp.asarray(data, jnp.float32)
+        atlas_dev = ()
+        if atlas is not None:
+            atlas_dev = jnp.broadcast_to(
+                jnp.asarray(atlas, jnp.float32),
+                (batch_size, *data.shape[1:-1], np.asarray(atlas).shape[-1]))
+        if self.params is None:
+            probe = np.zeros((batch_size, *data.shape[1:]), np.float32)
+            self.init((probe, probe))
+        multi_step = make_scanned_cached_pair_step(
+            self.model, self.loss_terms, self.tx, batch_size, bidir=bidir,
+            atlas=atlas is not None, rng_names=self.rng_names)
+        stream = device_cached_pair_indices(
+            int(data.shape[0]), batch_size=batch_size, atlas=atlas is not None,
+            seed=seed,
+            start_step=(start_step if start_step is not None
+                        else initial_epoch * steps_per_epoch))
+
+        logger = MetricsLogger(metrics_csv or (
+            os.path.join(model_dir, "metrics.csv") if model_dir else None))
+        if model_dir:
+            os.makedirs(model_dir, exist_ok=True)
+            self.save(os.path.join(model_dir,
+                                   save_filename.format(epoch=initial_epoch)),
+                      wait=False)
+        last_metrics = {}
+        try:
+            for epoch in range(initial_epoch, epochs):
+                t0 = time.time()
+                for _ in range(steps_per_epoch // steps_per_dispatch):
+                    picks = np.stack([next(stream)
+                                      for _ in range(steps_per_dispatch)])
+                    step0 = np.asarray(self.global_step, np.int32)
+                    (self.params, self.state, self.opt_state,
+                     last_metrics) = multi_step(
+                        self.params, self.state, self.opt_state,
+                        self.base_rng, step0, data, atlas_dev, picks)
                     self.global_step += steps_per_dispatch
                 last_metrics = {k: float(v) for k, v in last_metrics.items()}
                 dt = time.time() - t0
