@@ -48,6 +48,11 @@ def parse_args(argv=None):
                         help='cache all training volumes in device HBM; the host '
                              'streams only sample indices and the per-sample '
                              'lambda array (recommended on tunneled TPUs)')
+    parser.add_argument('--steps-per-dispatch', type=int, default=None,
+                        help='with --cache-device: run this many train steps '
+                             'per device dispatch via lax.scan (0 = whole '
+                             'epoch); amortizes the per-dispatch host round '
+                             'trip on tunneled/remote TPUs')
     return parser.parse_args(argv)
 
 
@@ -89,19 +94,25 @@ def main(argv=None):
             return float(rng.choice([0, 1]))
         return float(rng.random())
 
-    def hyp_generator(start_step=0):
+    def hyp_stream(start_step=0):
         # lambda draws are STATELESS per step (rng keyed by (seed, step)) so a
         # resumed run replays the exact hyperparameter sequence, matching the
-        # device_cached_pair_generator resume contract
-        base_generator = make_base_generator(start_step)
+        # device_cached_pair_generator resume contract; yields 1-tuples per
+        # the fit_cached_pairs extra_stream contract
         step = start_step
         while True:
             rng = np.random.default_rng((2027, step))
-            hyp = np.expand_dims(
+            yield (np.expand_dims(
                 [random_hyperparam(rng) for _ in range(args.batch_size)], -1
-            ).astype('float32')
-            inputs, outputs = next(base_generator)
+            ).astype('float32'),)
             step += 1
+
+    def hyp_generator(start_step=0):
+        base_generator = make_base_generator(start_step)
+        hyps = hyp_stream(start_step)
+        while True:
+            (hyp,) = next(hyps)
+            inputs, outputs = next(base_generator)
             yield (*inputs, hyp), outputs
 
     generator = hyp_generator()
@@ -148,14 +159,30 @@ def main(argv=None):
     args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
                                         tuple(sample[0]), args.initial_epoch)
 
-    if args.initial_epoch:
+    if args.steps_per_dispatch is not None:
+        if not args.cache_device:
+            raise SystemExit('--steps-per-dispatch requires --cache-device')
+        from voxelmorph_tpu.training import load_volume_stack
+        data = load_volume_stack(train_files, add_feat_axis=add_feat_axis)
         # +1: the shape-probing `next(generator)` above consumed stream step 0
-        generator = hyp_generator(
-            start_step=args.initial_epoch * args.steps_per_epoch + 1)
-
-    trainer.fit(generator, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
-                initial_epoch=args.initial_epoch, model_dir=args.model_dir,
-                save_freq_epochs=args.save_freq)
+        start = args.initial_epoch * args.steps_per_epoch + 1
+        trainer.fit_cached_pairs(
+            data, epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+            steps_per_dispatch=args.steps_per_dispatch,
+            batch_size=args.batch_size,
+            atlas=atlas[0] if atlas is not None else None,
+            start_step=start, extra_stream=hyp_stream(start),
+            initial_epoch=args.initial_epoch, model_dir=args.model_dir,
+            save_freq_epochs=args.save_freq)
+    else:
+        if args.initial_epoch:
+            # +1: the shape probe above consumed stream step 0
+            generator = hyp_generator(
+                start_step=args.initial_epoch * args.steps_per_epoch + 1)
+        trainer.fit(generator, epochs=args.epochs,
+                    steps_per_epoch=args.steps_per_epoch,
+                    initial_epoch=args.initial_epoch, model_dir=args.model_dir,
+                    save_freq_epochs=args.save_freq)
 
     # sweep across 20 values of lambda on an example pair
     if args.test_reg:

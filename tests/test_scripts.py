@@ -137,6 +137,26 @@ def test_train_hypermorph(data, tmp_path):
     assert os.path.isfile(str(tmp_path / "m" / "0001.npz"))
 
 
+def test_train_hypermorph_scanned_matches_per_step(data, tmp_path):
+    """--steps-per-dispatch must reproduce the per-step cached path exactly
+    (same picks, same lambda draws, same rng folding -> same params)."""
+    import train_hypermorph as script
+    common = [
+        "--img-list", str(data / "list.txt"),
+        "--int-steps", "2", "--cache-device", "--save-freq", "1", *TINY,
+        "--epochs", "1", "--steps-per-epoch", "4",
+    ]
+    script.main(common + ["--model-dir", str(tmp_path / "a")])
+    script.main(common + ["--model-dir", str(tmp_path / "b"),
+                          "--steps-per-dispatch", "2"])
+    a = np.load(str(tmp_path / "a" / "0001.npz"))
+    b = np.load(str(tmp_path / "b" / "0001.npz"))
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        if a[k].dtype.kind == "f":
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
+
+
 def test_train_hypermorph_cache_device_resume(data, tmp_path):
     import train_hypermorph as script
     common = [

@@ -188,21 +188,24 @@ def make_scanned_cached_pair_step(model, loss_terms: Sequence[LossTerm], tx,
     device_cached_pair_indices, so the sample sequence (and resume replay)
     is byte-identical to the per-step device_cached_pair_generator path.
 
+    ``extras``: optional tuple of per-step (K, ...) host-streamed arrays
+    appended to the model inputs (e.g. HyperMorph's (K, B, 1) lambda draws).
+
     Returns jitted fn(params, state, opt_state, base_rng, step0, data,
-    atlas_dev, picks) -> (params, state, opt_state, last_metrics); pass
-    atlas_dev=() when atlas=False (jit requires a stable pytree).
+    atlas_dev, picks, *extras) -> (params, state, opt_state, last_metrics);
+    pass atlas_dev=() when atlas=False (jit requires a stable pytree).
     """
     loss_fn = make_loss_fn(model, loss_terms, needs_sample_rng=needs_sample_rng,
                            rng_names=rng_names)
 
     def multi_step(params, state, opt_state, base_rng, step0, data,
-                   atlas_dev, picks):
+                   atlas_dev, picks, *extras):
         nd = data.ndim - 2
         void = jnp.zeros((batch_size, *data.shape[1:-1], nd), jnp.float32)
 
         def body(carry, xs):
             params, state, opt_state = carry
-            step, pk = xs
+            step, pk, ex = xs
             rng = jax.random.fold_in(base_rng, step)
             if atlas:
                 src = jnp.take(data, pk, axis=0)
@@ -210,7 +213,7 @@ def make_scanned_cached_pair_step(model, loss_terms: Sequence[LossTerm], tx,
             else:
                 src = jnp.take(data, pk[:batch_size], axis=0)
                 trg = jnp.take(data, pk[batch_size:], axis=0)
-            inputs = (src, trg)
+            inputs = (src, trg, *ex)
             targets = (trg, src, void) if bidir else (trg, void)
             grads_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (metrics, new_state)), grads = grads_fn(
@@ -222,7 +225,7 @@ def make_scanned_cached_pair_step(model, loss_terms: Sequence[LossTerm], tx,
         k = picks.shape[0]
         steps = step0 + jnp.arange(k, dtype=jnp.int32)
         (params, state, opt_state), metrics = jax.lax.scan(
-            body, (params, state, opt_state), (steps, picks))
+            body, (params, state, opt_state), (steps, picks, tuple(extras)))
         last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         return params, state, opt_state, last
 
@@ -737,7 +740,8 @@ class Trainer:
                          save_freq_epochs: int = 20,
                          save_filename: str = "{epoch:04d}.npz",
                          log_fn: Callable[[str], None] = print,
-                         metrics_csv: Optional[str] = None):
+                         metrics_csv: Optional[str] = None,
+                         extra_stream=None):
         """Scanned fit over an HBM-resident volume stack (pair registration).
 
         Runs ``steps_per_dispatch`` train steps per device round trip (one
@@ -748,7 +752,10 @@ class Trainer:
         resume interchangeably.
 
         data: (N, *spatial, C) float32 stack (load_volume_stack);
-        atlas: optional (*spatial, C) target volume (scan-to-atlas mode).
+        atlas: optional (*spatial, C) target volume (scan-to-atlas mode);
+        extra_stream: optional generator aligned with the picks stream (same
+        start step) yielding a tuple of arrays per step, appended to the
+        model inputs — e.g. HyperMorph's per-sample lambda draws.
         """
         steps_per_dispatch = steps_per_dispatch or steps_per_epoch
         assert steps_per_epoch % steps_per_dispatch == 0, (
@@ -785,11 +792,17 @@ class Trainer:
                 for _ in range(steps_per_epoch // steps_per_dispatch):
                     picks = np.stack([next(stream)
                                       for _ in range(steps_per_dispatch)])
+                    extras = ()
+                    if extra_stream is not None:
+                        per_step = [next(extra_stream)
+                                    for _ in range(steps_per_dispatch)]
+                        extras = tuple(np.stack(comp)
+                                       for comp in zip(*per_step))
                     step0 = np.asarray(self.global_step, np.int32)
                     (self.params, self.state, self.opt_state,
                      last_metrics) = multi_step(
                         self.params, self.state, self.opt_state,
-                        self.base_rng, step0, data, atlas_dev, picks)
+                        self.base_rng, step0, data, atlas_dev, picks, *extras)
                     self.global_step += steps_per_dispatch
                 last_metrics = {k: float(v) for k, v in last_metrics.items()}
                 dt = time.time() - t0
