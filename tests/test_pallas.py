@@ -106,5 +106,8 @@ def test_kernel_vmem_eligibility():
     assert not kernel_vmem_fits((80, 96, 112), 45, 1)  # crashed in the wild
     assert kernel_vmem_fits((80, 96, 112), 1, 1)
     assert kernel_vmem_fits((80, 96, 112), 3, 1)       # bench A/B config
-    assert kernel_vmem_fits((160, 192, 224), 1, 1)
+    assert kernel_vmem_fits((80, 96, 112), 3, 2)       # vecint halo-2 config
+    # full-res slabs blow the packed-window kernel's VMEM stack (measured
+    # 19.68 MB actual at nch 1: gate must route these to the XLA paths)
+    assert not kernel_vmem_fits((160, 192, 224), 1, 1)
     assert not kernel_vmem_fits((8, 8), 1, 1)          # 3-D only

@@ -82,10 +82,14 @@ def kernel_vmem_fits(spatial, nch: int, halo: int) -> bool:
     block, so many-channel volumes — e.g. SynthMorph's ~45-channel one-hot
     label maps — cannot run this kernel even at tz=1 and must take the XLA
     shifted-slice path instead. Footprints are modeled at tz=1 (the smallest
-    slab the pickers can choose) and gated at 10 MB: calibrated against a
-    measured failure (45ch x 80x96x112, halo 1: model 12.9 MB, actual
-    17.9 MB > 16 MB limit — the model under-counts Mosaic stack overhead by
-    ~1.4x, and 10 MB keeps the real footprint safely under 16 MB).
+    slab the pickers can choose) and gated at 6.5 MB: calibrated against a
+    measured failure of the packed-window kernel (bwd at 160x192x224, nch 1,
+    halo 1: model 9.78 MB, actual 19.68 MB > 16 MB limit — Mosaic keeps ~2x
+    the modeled bytes live on its stack; 6.5 MB keeps the real footprint
+    under ~15 MB). Notable consequences: full-res (192x224-slab) warps are
+    excluded — they take the corner-gather or XLA shifted-slice path — while
+    every integration-resolution configuration (1-4 channels, halo 1-2)
+    stays on the kernel.
     """
     if len(spatial) != 3:
         return False
@@ -99,7 +103,7 @@ def kernel_vmem_fits(spatial, nch: int, halo: int) -> bool:
            + tz * hw * (n_off ** 2 + 8))
     bwd = (2 * ((2 * nch + 3) * win_z * hwp + (nch + 3) * tz * hw)
            + tz * hw * (n_off ** 2 + 2 * nch + 10))
-    return max(fwd, bwd) <= 10 * 1024 * 1024
+    return max(fwd, bwd) <= int(6.5 * 1024 * 1024)
 
 
 def _pick_tz(d: int, h: int, hw_bytes: int, n_win_ch: int, n_tmp: int,
