@@ -149,7 +149,7 @@ def interpn(
             [jnp.roll(vol_flat, -off, axis=0) for off in offsets], axis=-1
         )  # (V, 2^N * C)
         lin0 = jnp.sum(idx0 * strides, axis=-1)
-        gathered = jnp.take(table, lin0, axis=0).reshape(-1, ncorners, nch)
+        gathered = jnp.take(table, lin0, axis=0)  # (M, 2^N * C)
 
         wts = jnp.stack(
             [
@@ -161,7 +161,16 @@ def interpn(
             ],
             axis=-1,
         )  # (M, 2^N)
-        out = jnp.einsum("mkc,mk->mc", gathered, wts)
+        # weighted corner reduction as multiply + reduce, NOT einsum: a dot
+        # formulation forces a layout copy of the rank-3 gather result, and
+        # inside lax.scan XLA materializes it with the trailing unit dim
+        # padded to a 128 lane tile (measured: a 220 MB table copied as 28 GB
+        # at 160x192x224, C=1). Elementwise ops fuse into the gather instead.
+        if nch == 1:
+            out = jnp.sum(gathered * wts, axis=-1, keepdims=True)
+        else:
+            out = jnp.sum(gathered.reshape(-1, ncorners, nch) * wts[..., None],
+                          axis=-2)
     else:
         raise ValueError(f"interp_method must be 'linear' or 'nearest', got {interp_method}")
 
