@@ -74,55 +74,66 @@ def pallas_available() -> bool:
         return False
 
 
-def kernel_vmem_fits(spatial, nch: int, halo: int) -> bool:
-    """Conservative check that the fwd AND vjp kernels fit scoped VMEM.
+# Scoped-VMEM budgets for one kernel invocation, per kernel direction. The
+# hardware stack limit is 16 MB; the gap absorbs Mosaic scheduling slack.
+# Calibrated on TPU v5e via scripts/pallas_vmem_calibrate.py against the
+# fori-over-oz kernels (the fully-unrolled predecessors overran the model
+# ~4x because the scheduler kept every tap slice of the (2h+1)^3 unroll
+# live at once). Boundary observations the budgets separate: bwd at
+# (80,96,112) nch=3 halo=2 compiles at a modeled 8.9 MB, while fwd at
+# (40,48,56) nch=4 halo=2 OOMs at a modeled 8.3 MB slab size.
+_VMEM_BUDGET = {"fwd": int(7.5 * 1024 * 1024), "bwd": 9 * 1024 * 1024}
 
-    Mosaic double-buffers every grid block and the TPU scoped-vmem limit is
-    16 MB. The channel count multiplies both the input window and the output
-    block, so many-channel volumes — e.g. SynthMorph's ~45-channel one-hot
-    label maps — cannot run this kernel even at tz=1 and must take the XLA
-    shifted-slice path instead. Footprints are modeled at tz=1 (the smallest
-    slab the pickers can choose) and gated at 6.5 MB: calibrated against a
-    measured failure of the packed-window kernel (bwd at 160x192x224, nch 1,
-    halo 1: model 9.78 MB, actual 19.68 MB > 16 MB limit — Mosaic keeps ~2x
-    the modeled bytes live on its stack; 6.5 MB keeps the real footprint
-    under ~15 MB). Notable consequences: full-res (192x224-slab) warps are
-    excluded — they take the corner-gather or XLA shifted-slice path — while
-    every integration-resolution configuration (1-4 channels, halo 1-2)
-    stays on the kernel.
+
+def _footprint(spatial, nch: int, halo: int, tz: int, mode: str) -> int:
+    """Modeled scoped-VMEM bytes of one kernel grid step at slab size tz.
+
+    Counts the Mosaic-double-buffered input window and output block plus the
+    live (tz, H, W) f32 temporaries of the kernel body: the fori carry, the
+    clamped-displacement fields, and one z-plane of the statically-unrolled
+    (2h+1)^2 y/x tap terms with their weight intermediates (the z taps are
+    sequential by construction; the backward holds two tap groups per
+    plane — dvol and dshift — hence the 3x coefficient).
     """
-    if len(spatial) != 3:
-        return False
     _, H, W = (int(s) for s in spatial)
-    p, tz = int(halo), 1
+    p = int(halo)
     n_off = 2 * p + 1
     hwp = (H + 2 * p) * (W + 2 * p) * 4
     hw = H * W * 4
     win_z = tz + 2 * p
-    fwd = (2 * ((nch + 3) * win_z * hwp + nch * tz * hw)
-           + tz * hw * (n_off ** 2 + 8))
-    bwd = (2 * ((2 * nch + 3) * win_z * hwp + (nch + 3) * tz * hw)
-           + tz * hw * (n_off ** 2 + 2 * nch + 10))
-    return max(fwd, bwd) <= int(6.5 * 1024 * 1024)
+    if mode == "fwd":
+        win_ch, out_ch = nch + 3, nch
+        live_n = 2 * n_off ** 2 + nch + 10
+    else:
+        win_ch, out_ch = 2 * nch + 3, nch + 3
+        live_n = 3 * n_off ** 2 + 2 * nch + 16
+    return (2 * (win_ch * win_z * hwp + out_ch * tz * hw)
+            + live_n * tz * hw)
 
 
-def _pick_tz(d: int, h: int, hw_bytes: int, n_win_ch: int, n_tmp: int,
-             budget=6 * 1024 * 1024):
-    """Choose the z-slab size: as large as fits the VMEM budget.
-
-    n_win_ch: packed channels of the input window (double-buffered by
-    Mosaic); n_tmp: live (tz, H, W) temporaries of the unrolled inner
-    accumulation. The grid covers D with ceil-division and a masked tail.
-    """
-    pad = 2 * h
+def _pick_tz(spatial, nch: int, halo: int, mode: str):
+    """Largest z-slab size whose modeled footprint fits the VMEM budget,
+    or None if even tz=1 does not fit (caller must fall back to XLA)."""
+    d = int(spatial[0])
     for tz in (16, 8, 4, 2, 1):
         if tz > d:
             continue
-        win_bytes = 2 * (tz + pad) * hw_bytes * n_win_ch
-        tmp_bytes = tz * (hw_bytes) * n_tmp
-        if win_bytes + tmp_bytes <= budget:
+        if _footprint(spatial, nch, halo, tz, mode) <= _VMEM_BUDGET[mode]:
             return tz
-    return 1
+    return None
+
+
+def kernel_vmem_fits(spatial, nch: int, halo: int) -> bool:
+    """True when BOTH the fwd and vjp kernels fit scoped VMEM at some slab
+    size — evaluated with the same model and tz choice the kernels use, so
+    the gate can never admit a configuration the launcher would then OOM.
+    Many-channel volumes (e.g. SynthMorph's ~45-channel one-hot label maps)
+    and full-res 192x224 slabs at halo 2 fall back to the XLA paths.
+    """
+    if len(spatial) != 3:
+        return False
+    return (_pick_tz(spatial, nch, halo, "fwd") is not None
+            and _pick_tz(spatial, nch, halo, "bwd") is not None)
 
 
 def _window_stack(arr, tz: int, p: int, grid: int):
@@ -168,21 +179,32 @@ def _warp_kernel(h, tz, spatial, nch, win_ref, out_ref):
     x_base = fiota(2)
     dx = jnp.clip(x_base + ctr(nch + 2), 0.0, W - 1.0) - x_base
 
-    # all offsets statically unrolled: dynamic-start (pl.ds) slices inside a
-    # fori_loop defeat Mosaic's vectorization here (measured ~100x slower),
-    # while the static-slice unroll lowers to plain vector shifts
-    accs = tuple(jnp.zeros((tz, H, W), jnp.float32) for _ in range(nch))
-    for oz in range(-h, h + 1):
-        wz = _tri(dz, float(oz))
+    # The y/x offsets are statically unrolled into vector shifts (dynamic
+    # lane/sublane-start slices measured ~100x slower on Mosaic), but the z
+    # offset runs as a fori_loop with a dynamic z-start (z is the outer,
+    # untiled axis, where dynamic starts are cheap): the sequential carry
+    # bounds Mosaic's live set to ONE z-plane of taps. The fully-unrolled
+    # (2h+1)^3 version let the scheduler keep every tap slice live at once
+    # and overran the 16 MB scoped-VMEM stack (measured: 16.64M at halo=2,
+    # 96x112 slabs, vs a 4.5M analytic model).
+    def oz_body(ozi, accs):
+        # oz = ozi - h; window z-slice [p + oz, p + oz + tz) starts at ozi
+        ozf = ozi.astype(jnp.float32) - float(h)
+        wz = _tri(dz, ozf)
         for oy in range(-h, h + 1):
             wzy = wz * _tri(dy, float(oy))
             for ox in range(-h, h + 1):
                 # weights once per offset, applied to every channel
                 w = wzy * _tri(dx, float(ox))
                 accs = tuple(
-                    acc + w * win_ref[0, c, p + oz:p + oz + tz,
+                    acc + w * win_ref[0, c, pl.ds(ozi, tz),
                                       p + oy:p + oy + H, p + ox:p + ox + W]
                     for c, acc in enumerate(accs))
+        return accs
+
+    accs = jax.lax.fori_loop(
+        0, n_off, oz_body,
+        tuple(jnp.zeros((tz, H, W), jnp.float32) for _ in range(nch)))
     for c in range(nch):
         out_ref[0, c] = accs[c]
 
@@ -193,9 +215,8 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
 
     nch, D, H, W = vol_cf.shape
     p = h
-    hwp = (H + 2 * p) * (W + 2 * p) * 4
-    tz = _pick_tz(D, h, hwp, n_win_ch=nch + 3,
-                  n_tmp=(2 * h + 1) ** 2 + nch + 8)
+    tz = _pick_tz((D, H, W), nch, h, "fwd")
+    assert tz is not None, "caller must gate on kernel_vmem_fits"
     grid = (D + tz - 1) // tz
     d_pad = grid * tz  # pad D so every slab is full-size
 
@@ -263,14 +284,15 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
 
     zeros = lambda: jnp.zeros((tz, H, W), jnp.float32)
 
-    dvol = [zeros() for _ in range(nch)]
-    dsz, dsy, dsx = zeros(), zeros(), zeros()
-    # offsets statically unrolled (see the forward kernel's note: dynamic
-    # pl.ds starts in a fori_loop measured ~100x slower than static slices)
-    for oz in range(-h, h + 1):
-        ozf = float(oz)
-        # --- dvol: read everything at the flipped offset (y - o) ---
-        zs = slice(p - oz, p - oz + tz)
+    # z offsets as a fori_loop with dynamic z-starts, y/x statically unrolled
+    # — same liveness-bounding structure as the forward kernel (see its note)
+    def oz_body(ozi, carry):
+        dvol = list(carry[:nch])
+        dsz, dsy, dsx = carry[nch:]
+        ozf = ozi.astype(jnp.float32) - float(h)
+        # --- dvol: read everything at the flipped offset (y - o);
+        # window z-slice [p - oz, p - oz + tz) starts at 2h - ozi ---
+        zs = pl.ds(2 * h - ozi, tz)
         zq = z0 - ozf  # global z of the source position y - o
         for oy in range(-h, h + 1):
             for ox in range(-h, h + 1):
@@ -292,8 +314,9 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
                 dvol = [dv + w * win_ref[0, cg + c, zs, ysl, xsl]
                         for c, dv in enumerate(dvol)]
 
-        # --- dshift: same-position weights, taps at + offset ---
-        zs2 = slice(p + oz, p + oz + tz)
+        # --- dshift: same-position weights, taps at + offset;
+        # window z-slice [p + oz, p + oz + tz) starts at ozi ---
+        zs2 = pl.ds(ozi, tz)
         wz, dwz = _tri(dz0, ozf), _dtri(dz0, ozf)
         for oy in range(-h, h + 1):
             wy, dwy = _tri(dy0, float(oy)), _dtri(dy0, float(oy))
@@ -307,6 +330,12 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
                 dsz = dsz + gv * dwz * wy * wx
                 dsy = dsy + gv * wz * dwy * wx
                 dsx = dsx + gv * wz * wy * dwx
+        return (*dvol, dsz, dsy, dsx)
+
+    carry = jax.lax.fori_loop(
+        0, n_off, oz_body, tuple(zeros() for _ in range(nch + 3)))
+    dvol = carry[:nch]
+    dsz, dsy, dsx = carry[nch:]
 
     for c in range(nch):
         out_ref[0, c] = dvol[c]
@@ -320,10 +349,8 @@ def _bwd_impl_pallas(vol_cf, shift, g, h: int):
 
     nch, D, H, W = vol_cf.shape
     p = h
-    n_off = 2 * h + 1
-    hwp = (H + 2 * p) * (W + 2 * p) * 4
-    tz = _pick_tz(D, h, hwp, n_win_ch=2 * nch + 3,
-                  n_tmp=n_off ** 2 + 2 * nch + 10)
+    tz = _pick_tz((D, H, W), nch, h, "bwd")
+    assert tz is not None, "caller must gate on kernel_vmem_fits"
     grid = (D + tz - 1) // tz
     d_pad = grid * tz
 
