@@ -55,6 +55,11 @@ def main(argv=None):
         def make_variant(key, seg):
             svf = draw_multiscale_noise(key, seg.shape, (args.warp_res,),
                                         args.warp_std, nb_channels=seg.ndim)
+            # draw_multiscale_noise draws its std ~ U(0, warp_std) (the
+            # per-sample synthesis semantics); an augmentation variant must
+            # actually differ from its base, so rescale the field to a
+            # guaranteed std of warp_std
+            svf = svf * (args.warp_std / (jnp.std(svf) + 1e-6))
             field = W.integrate_vec(svf, nb_steps=5)
             out = W.transform(seg.astype(jnp.float32)[..., None], field,
                               interp_method="nearest")[..., 0]

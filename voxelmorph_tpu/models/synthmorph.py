@@ -4,8 +4,9 @@ Three pieces, rebuilt TPU-first from the reference:
 
   * ``labels_to_image`` — the on-device synthesis pipeline replacing
     ne.models.labels_to_image (used at scripts/tf/train_synthmorph.py:142-153):
-    label map -> random diffeomorphic warp -> per-label GMM intensities ->
-    blur -> bias field -> gamma. Here it is a pure PRNG-keyed jitted function
+    label map -> per-label GMM intensities -> random diffeomorphic warp of
+    image + soft one-hot -> blur -> bias field -> gamma. Here it is a pure
+    PRNG-keyed jitted function
     (no Keras graph): every step is vectorized jnp, the smooth fields ride the
     separable matmul resize, and the whole pipeline fuses into the train step.
   * ``VxmAffineFeatureDetector`` — symmetric affine/rigid registration via
@@ -113,8 +114,10 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
 
     Returns:
       image: (B, *out_shape, 1) float32 in [0, 1].
-      one_hot: (B, *out_shape, nb_out_labels) float32 — the *warped* label map
-        one-hot encoded over cfg.out_label_list (used by the Dice loss).
+      one_hot: (B, *out_shape, nb_out_labels) float32 — the one-hot encoding
+        (over cfg.out_label_list) carried through the random warp with
+        linear interpolation, i.e. SOFT at boundaries (used by the Dice
+        loss; matches ne.models.labels_to_image's linearly-resampled maps).
     """
     B = label_map.shape[0]
     nd = len(cfg.in_shape)
@@ -123,16 +126,8 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
         lab = lab[..., 0].astype(jnp.int32)
         keys = jax.random.split(key, 8)
 
-        # 1. random smooth SVF -> diffeomorphic warp -> warp label map (nearest)
-        svf = draw_multiscale_noise(keys[0], cfg.in_shape, cfg.warp_res,
-                                    cfg.warp_std, nb_channels=nd)
-        warp = warp_ops.integrate_vec(svf, nb_steps=cfg.warp_int_steps)
-        lab_f = lab.astype(jnp.float32)[..., None]
-        warped = warp_ops.transform(lab_f, warp, interp_method="nearest")[..., 0]
-        warped = warped.astype(jnp.int32)
-
-        # 2. per-label GMM intensities
-        idx = jnp.asarray(cfg.index_lut)[jnp.clip(warped, 0, len(cfg.index_lut) - 1)]
+        # 1. per-label GMM intensities on the UNWARPED map
+        idx = jnp.asarray(cfg.index_lut)[jnp.clip(lab, 0, len(cfg.index_lut) - 1)]
         means = jax.random.uniform(keys[1], (cfg.nb_in_labels,), jnp.float32,
                                    cfg.mean_range[0], cfg.mean_range[1])
         stds = jax.random.uniform(keys[2], (cfg.nb_in_labels,), jnp.float32,
@@ -142,29 +137,46 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
             zero = jax.random.uniform(keys[6], ()) < cfg.zero_background
             means = means.at[0].set(jnp.where(zero, 0.0, means[0]))
             stds = stds.at[0].set(jnp.where(zero, 0.0, stds[0]))
-        noise = jax.random.normal(keys[3], warped.shape, jnp.float32)
+        noise = jax.random.normal(keys[3], lab.shape, jnp.float32)
         image = means[idx] + stds[idx] * noise
 
-        # 3. blur with random std
+        # 2. one-hot of the map over out labels
+        out_idx = jnp.asarray(cfg.out_lut)[jnp.clip(lab, 0, len(cfg.out_lut) - 1)]
+        one_hot = jax.nn.one_hot(out_idx, cfg.nb_out_labels, dtype=jnp.float32)
+
+        # 3. random smooth SVF -> diffeomorphic warp; image and one-hot ride
+        # the SAME warp with LINEAR interpolation (one fused gather). The
+        # linear map warp matters for training dynamics: it yields *soft*
+        # label boundaries, so the Dice target and the linearly-warped
+        # prediction are equally smooth. (An earlier nearest-warped hard
+        # one-hot biased early training toward zero flow: any motion of the
+        # prediction blurred it against a hard target, which at the noisy
+        # start of optimization penalized all flow and collapsed the U-Net.)
+        svf = draw_multiscale_noise(keys[0], cfg.in_shape, cfg.warp_res,
+                                    cfg.warp_std, nb_channels=nd)
+        warp = warp_ops.integrate_vec(svf, nb_steps=cfg.warp_int_steps)
+        packed = jnp.concatenate([image[..., None], one_hot], axis=-1)
+        # window_halo=None: this runs under vmap, where the adaptive
+        # lax.cond dispatch would execute both branches (ops/warp.py note)
+        packed = warp_ops.transform(packed, warp, window_halo=None)
+        image, one_hot = packed[..., 0], packed[..., 1:]
+
+        # 4. blur with random std
         blur_sig = jax.random.uniform(keys[4], (), jnp.float32, 0.0, cfg.blur_std)
         image = gaussian_blur(image[..., None], blur_sig, max_sigma=cfg.blur_std)
 
-        # 4. multiplicative bias field
+        # 5. multiplicative bias field
         if cfg.bias_std > 0:
             bias = draw_multiscale_noise(keys[5], cfg.in_shape, cfg.bias_res,
                                          cfg.bias_std, nb_channels=1)
             image = image * jnp.exp(bias)
 
-        # 5. normalize to [0, 1], then gamma contrast jitter
+        # 6. normalize to [0, 1], then gamma contrast jitter
         lo = jnp.min(image)
         hi = jnp.max(image)
         image = (image - lo) / jnp.maximum(hi - lo, 1e-6)
         gamma = jax.random.normal(keys[7], ()) * cfg.gamma_std
         image = jnp.power(jnp.clip(image, 1e-6, 1.0), jnp.exp(gamma))
-
-        # 6. one-hot of the warped label map over out labels
-        out_idx = jnp.asarray(cfg.out_lut)[jnp.clip(warped, 0, len(cfg.out_lut) - 1)]
-        one_hot = jax.nn.one_hot(out_idx, cfg.nb_out_labels, dtype=jnp.float32)
 
         # 7. optional center pad/crop to out_shape
         if cfg.out_shape != cfg.in_shape:
