@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--splits", nargs="+", default=["train", "test"],
                    choices=["train", "test"],
                    help="which splits to (re)generate")
+    p.add_argument("--downsample", type=int, default=1,
+                   help="integer factor to shrink the generated volumes by "
+                        "(vol: separable linear resize, seg: nearest). Use 2 "
+                        "to evaluate models trained at half resolution (e.g. "
+                        "SynthMorph at 80x96x112) on the same anatomy")
     return p.parse_args(argv)
 
 
@@ -51,6 +56,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from voxelmorph_tpu.ops import warp as W
     from voxelmorph_tpu.ops.image import draw_multiscale_noise
+    from voxelmorph_tpu.ops.interp import resize
 
     data = np.load(args.src)
     vol = data["vol"].astype(np.float32)
@@ -74,6 +80,12 @@ def main(argv=None):
         gamma = jnp.exp(jax.random.normal(k_gamma, ()) * 0.1)
         scale = 1.0 + 0.05 * jax.random.normal(k_scale, ())
         v = jnp.clip(v, 0.0, 1.0) ** gamma * scale
+        if args.downsample > 1:
+            # same PRNG keys as the full-res set -> identical anatomy, so a
+            # half-res model is scored on the same registration problems
+            f = 1.0 / args.downsample
+            v = resize(v[..., None], f)[..., 0]
+            s = resize(s[..., None], f, interp_method="nearest")[..., 0]
         return v, s
 
     base = jax.random.PRNGKey(args.seed)
