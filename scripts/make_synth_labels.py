@@ -66,10 +66,25 @@ def main(argv=None):
             return out.astype(jnp.int32)
 
     n_aug = 0
+    train_vols = []
     for path in sorted(glob.glob(os.path.join(args.src, "train_*.npz"))):
-        seg = np.load(path)["seg"][::2, ::2, ::2].astype(np.int32)
+        data = np.load(path)
+        seg = data["seg"][::2, ::2, ::2].astype(np.int32)
         stem = os.path.basename(path).split("_")[1].split(".")[0]
         np.savez(os.path.join(args.out, f"lab_{stem}"), vol=seg)
+        # half-res vol+seg training volumes (2x2x2 mean / nearest), for
+        # trainers that run at reduced resolution (e.g. the HyperMorph
+        # lambda-sweep model)
+        vol = data["vol"].astype(np.float32)
+        vol = vol.reshape(vol.shape[0] // 2, 2, vol.shape[1] // 2, 2,
+                          vol.shape[2] // 2, 2).mean(axis=(1, 3, 5))
+        tr_path = os.path.abspath(
+            os.path.join(args.out, f"train_{stem}.npz"))
+        np.savez(tr_path, vol=vol, seg=seg)
+        train_vols.append(tr_path)
+    if train_vols:
+        with open(os.path.join(args.out, "train_list.txt"), "w") as f:
+            f.write("\n".join(train_vols) + "\n")
         if args.augment:
             import jax
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(stem))

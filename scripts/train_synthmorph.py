@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p.add_argument('--init-weights', help="checkpoint to start from; 'latest' resumes from model-dir")
     p.add_argument('--save-freq', type=int, default=20, help='checkpoint-writing period, in epochs')
     p.add_argument('--reg-param', type=float, default=1., help='weight of the flow-gradient smoothness term')
+    p.add_argument('--sup-flow-weight', type=float, default=0.,
+                   help='weight of a supervised MSE term between pos_flow and '
+                        'the exact synthesis ground-truth flow (same-subject '
+                        'pairs only — use with --same-subj). Bootstrap phase: '
+                        'train with this > 0 first, then resume without it; '
+                        'the dense supervision escapes the zero-flow attractor '
+                        'that the boundary-local Dice gradient cannot.')
     p.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate')
     p.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
                    help='U-Net compute dtype (bfloat16 halves activation HBM)')
@@ -109,6 +116,7 @@ def main(argv=None):
         int_resolution=2,
         svf_resolution=2,
         dtype=resolve_dtype(arg.dtype),
+        sup_flow=arg.sup_flow_weight > 0,
     )
 
     dice = vxm.losses.Dice()
@@ -119,6 +127,20 @@ def main(argv=None):
         LossTerm('pos_flow', grad.loss, weight=1.0,
                  target_output_key='pos_flow', name='grad'),
     ]
+    if arg.sup_flow_weight > 0:
+        if not arg.same_subj:
+            raise SystemExit('--sup-flow-weight requires --same-subj: the '
+                             'ground-truth flow only exists when both images '
+                             'of a pair derive from one label map')
+        import jax.numpy as jnp
+
+        def flow_mse(t, p):
+            return jnp.mean(jnp.square(p - t),
+                            axis=tuple(range(1, p.ndim)))
+
+        terms.append(LossTerm('pos_flow', flow_mse,
+                              weight=arg.sup_flow_weight,
+                              target_output_key='gt_flow', name='supflow'))
 
     trainer = Trainer(model, terms, lr=arg.lr, rng_names=('synth',),
                       clip_norm=arg.clip_grad)

@@ -201,3 +201,36 @@ def test_hyper_vxm_joint_half_res_output():
     out = model.apply({"params": params}, hyp, im1, im2)
     assert out["tot_1"].shape == (1, 8, 8, 2)
     assert out["moved_1"].shape == (1, 8, 8, 1)
+
+
+def test_labels_to_image_return_warp_inverse():
+    # exp(svf) o exp(-svf) ~ id: composing the returned warp with its
+    # inverse must nearly cancel
+    cfg = _cfg()
+    maps = _label_maps(1)
+    _, _, warp, inv_warp = labels_to_image(
+        jax.random.PRNGKey(3), maps, cfg, return_warp=True)
+    assert warp.shape == (1, *SHAPE3, 3) and inv_warp.shape == warp.shape
+    comp = warp[0] + W.transform(inv_warp[0], warp[0], window_halo=None)
+    # interior only (edge clamping pollutes the boundary shell)
+    assert float(jnp.max(jnp.abs(comp[2:-2, 2:-2, 2:-2]))) < 0.05
+
+
+def test_synthmorph_gt_flow_aligns_same_subject_pair():
+    # For a same-subject pair the emitted gt_flow must warp map_1 onto
+    # map_2 (up to interpolation softness)
+    from voxelmorph_tpu.models import SynthMorphDense
+
+    cfg = _cfg(warp_std=1.0)
+    maps = _label_maps(1)
+    model = SynthMorphDense(cfg=cfg, nb_unet_features=([4], [4, 4]),
+                            int_steps=2, sup_flow=True)
+    key = jax.random.PRNGKey(0)
+    out = model.init_with_output({'params': key, 'synth': key}, maps, maps)[0]
+    assert out['gt_flow'].shape == (1, *SHAPE3, 3)
+    aligned = W.transform_batched(out['map_1'], out['gt_flow'],
+                                  window_halo=None)
+    err_gt = float(jnp.mean(jnp.abs(aligned - out['map_2'])))
+    err_id = float(jnp.mean(jnp.abs(out['map_1'] - out['map_2'])))
+    assert err_gt < 0.5 * err_id  # gt flow explains most of the misalignment
+    assert err_gt < 0.03

@@ -104,13 +104,19 @@ class LabelsToImageConfig:
         return cls(**data)
 
 
-def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
+def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
+                    return_warp: bool = False):
     """Synthesize a (image, one_hot_map) pair from an integer label map.
 
     Args:
       key: PRNG key (fold in the step index for fresh draws every step).
       label_map: (B, *in_shape, 1) integer labels.
       cfg: LabelsToImageConfig.
+      return_warp: also return the synthesis deformation and its inverse
+        (both dense displacements). Because the deformation is the exp of a
+        stationary velocity field, the exact inverse is exp(-svf) — this is
+        what makes a *supervised* flow target computable for same-subject
+        pairs (see SynthMorphDense.sup_flow).
 
     Returns:
       image: (B, *out_shape, 1) float32 in [0, 1].
@@ -118,7 +124,11 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
         (over cfg.out_label_list) carried through the random warp with
         linear interpolation, i.e. SOFT at boundaries (used by the Dice
         loss; matches ne.models.labels_to_image's linearly-resampled maps).
+      [warp, inv_warp]: (B, *in_shape, nd) displacements, only with
+        ``return_warp`` (requires out_shape == in_shape).
     """
+    if return_warp and cfg.out_shape != cfg.in_shape:
+        raise ValueError("return_warp requires out_shape == in_shape")
     B = label_map.shape[0]
     nd = len(cfg.in_shape)
 
@@ -182,6 +192,9 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig):
         if cfg.out_shape != cfg.in_shape:
             image = _center_fit(image, cfg.out_shape)
             one_hot = _center_fit(one_hot, cfg.out_shape)
+        if return_warp:
+            inv_warp = warp_ops.integrate_vec(-svf, nb_steps=cfg.warp_int_steps)
+            return image, one_hot, warp, inv_warp
         return image, one_hot
 
     keys = jax.random.split(key, B)
@@ -217,6 +230,13 @@ class SynthMorphDense(nn.Module):
     int_resolution: int = 2
     svf_resolution: int = 2
     dtype: Any = jnp.float32
+    # Emit out['gt_flow'], the EXACT flow aligning map_1 to map_2 when both
+    # derive from the same label map: pred = map_1 o (id + f) equals map_2
+    # iff id + f = phi_1^{-1} o phi_2 where phi_i are the synthesis warps.
+    # Supervising pos_flow against it (same-subj pairs) gives dense global
+    # gradient support — the bootstrap that breaks the zero-flow attractor
+    # the boundary-thin Dice gradient cannot escape on its own.
+    sup_flow: bool = False
 
     @nn.compact
     def __call__(self, src_labels, trg_labels, train: bool = True):
@@ -224,8 +244,20 @@ class SynthMorphDense(nn.Module):
 
         key = self.make_rng("synth") if train else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
-        ima_1, map_1 = labels_to_image(k1, src_labels, self.cfg)
-        ima_2, map_2 = labels_to_image(k2, trg_labels, self.cfg)
+        gt_flow = None
+        if self.sup_flow:
+            ima_1, map_1, w1, inv_w1 = labels_to_image(
+                k1, src_labels, self.cfg, return_warp=True)
+            ima_2, map_2, w2, _ = labels_to_image(
+                k2, trg_labels, self.cfg, return_warp=True)
+            # psi = phi_1^{-1} o phi_2 as a displacement:
+            # f(x) = u_2(x) + u_1^{-1}(x + u_2(x))
+            gt_flow = w2 + warp_ops.transform_batched(
+                inv_w1, w2, window_halo=None)
+            gt_flow = jax.lax.stop_gradient(gt_flow)
+        else:
+            ima_1, map_1 = labels_to_image(k1, src_labels, self.cfg)
+            ima_2, map_2 = labels_to_image(k2, trg_labels, self.cfg)
 
         out = VxmDense(
             inshape=self.cfg.out_shape,
@@ -240,6 +272,8 @@ class SynthMorphDense(nn.Module):
         out["image_1"], out["image_2"] = ima_1, ima_2
         out["map_1"], out["map_2"] = map_1, map_2
         out["pred_map"] = warp_ops.transform_batched(map_1, out["pos_flow"])
+        if gt_flow is not None:
+            out["gt_flow"] = gt_flow
         return out
 
 
