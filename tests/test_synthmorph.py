@@ -234,3 +234,31 @@ def test_synthmorph_gt_flow_aligns_same_subject_pair():
     err_id = float(jnp.mean(jnp.abs(out['map_1'] - out['map_2'])))
     assert err_gt < 0.5 * err_id  # gt flow explains most of the misalignment
     assert err_gt < 0.03
+
+
+def test_shared_contrast_intensity_key():
+    # same intensity_key => same per-label GMM draw: the two images agree
+    # up to noise/warp; different keys give different contrasts
+    cfg = _cfg(warp_std=0.0, blur_std=0.0, bias_std=0.0, gamma_std=0.0,
+               std_range=(0.0, 0.0), zero_background=0.0)
+    maps = _label_maps(1)
+    ik = jax.random.PRNGKey(7)
+    im_a, _ = labels_to_image(jax.random.PRNGKey(1), maps, cfg,
+                              intensity_key=ik)
+    im_b, _ = labels_to_image(jax.random.PRNGKey(2), maps, cfg,
+                              intensity_key=ik)
+    im_c, _ = labels_to_image(jax.random.PRNGKey(2), maps, cfg,
+                              intensity_key=jax.random.PRNGKey(8))
+    np.testing.assert_allclose(np.asarray(im_a), np.asarray(im_b), atol=1e-5)
+    assert float(jnp.mean(jnp.abs(im_b - im_c))) > 0.01
+
+
+def test_synthmorph_shared_contrast_smoke():
+    from voxelmorph_tpu.models import SynthMorphDense
+    cfg = _cfg()
+    maps = _label_maps(1)
+    model = SynthMorphDense(cfg=cfg, nb_unet_features=([4], [4, 4]),
+                            int_steps=1, shared_contrast=1.0)
+    key = jax.random.PRNGKey(0)
+    out = model.init_with_output({'params': key, 'synth': key}, maps, maps)[0]
+    assert out['y_source'].shape == (1, *SHAPE3, 1)

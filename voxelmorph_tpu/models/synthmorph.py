@@ -105,7 +105,7 @@ class LabelsToImageConfig:
 
 
 def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
-                    return_warp: bool = False):
+                    return_warp: bool = False, intensity_key=None):
     """Synthesize a (image, one_hot_map) pair from an integer label map.
 
     Args:
@@ -117,6 +117,12 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
         stationary velocity field, the exact inverse is exp(-svf) — this is
         what makes a *supervised* flow target computable for same-subject
         pairs (see SynthMorphDense.sup_flow).
+      intensity_key: optional PRNG key that overrides the draw of the
+        per-label GMM means/stds (and background zeroing). Passing the SAME
+        intensity_key to both synthesizers of a pair gives the two images a
+        shared contrast while geometry/noise/bias/gamma stay independent —
+        the easy end of the contrast curriculum (SynthMorphDense.
+        shared_contrast).
 
     Returns:
       image: (B, *out_shape, 1) float32 in [0, 1].
@@ -132,19 +138,20 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
     B = label_map.shape[0]
     nd = len(cfg.in_shape)
 
-    def single(key, lab):
+    def single(key, lab, ikey):
         lab = lab[..., 0].astype(jnp.int32)
         keys = jax.random.split(key, 8)
+        ikeys = keys if ikey is None else jax.random.split(ikey, 8)
 
         # 1. per-label GMM intensities on the UNWARPED map
         idx = jnp.asarray(cfg.index_lut)[jnp.clip(lab, 0, len(cfg.index_lut) - 1)]
-        means = jax.random.uniform(keys[1], (cfg.nb_in_labels,), jnp.float32,
+        means = jax.random.uniform(ikeys[1], (cfg.nb_in_labels,), jnp.float32,
                                    cfg.mean_range[0], cfg.mean_range[1])
-        stds = jax.random.uniform(keys[2], (cfg.nb_in_labels,), jnp.float32,
+        stds = jax.random.uniform(ikeys[2], (cfg.nb_in_labels,), jnp.float32,
                                   cfg.std_range[0], cfg.std_range[1])
         # optionally zero out the background (label 0) intensity
         if cfg.zero_background > 0 and cfg.in_label_list[0] == 0:
-            zero = jax.random.uniform(keys[6], ()) < cfg.zero_background
+            zero = jax.random.uniform(ikeys[6], ()) < cfg.zero_background
             means = means.at[0].set(jnp.where(zero, 0.0, means[0]))
             stds = stds.at[0].set(jnp.where(zero, 0.0, stds[0]))
         noise = jax.random.normal(keys[3], lab.shape, jnp.float32)
@@ -198,7 +205,10 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
         return image, one_hot
 
     keys = jax.random.split(key, B)
-    return jax.vmap(single)(keys, label_map)
+    if intensity_key is None:
+        return jax.vmap(lambda k, l: single(k, l, None))(keys, label_map)
+    ikeys = jax.random.split(intensity_key, B)
+    return jax.vmap(single)(keys, label_map, ikeys)
 
 
 def _center_fit(x, out_shape):
@@ -237,27 +247,43 @@ class SynthMorphDense(nn.Module):
     # gradient support — the bootstrap that breaks the zero-flow attractor
     # the boundary-thin Dice gradient cannot escape on its own.
     sup_flow: bool = False
+    # Probability that both images of a pair share one per-label GMM
+    # intensity draw. With fully independent contrasts (the SynthMorph
+    # endgame) low-level intensity-difference cues are sign-random per step,
+    # so a net from scratch faces a long plateau before any flow signal
+    # emerges; sharing contrasts early makes local cues informative
+    # immediately. Anneal toward 0 across training phases.
+    shared_contrast: float = 0.0
 
     @nn.compact
     def __call__(self, src_labels, trg_labels, train: bool = True):
         from .vxm import VxmDense  # local import to avoid cycles
 
         key = self.make_rng("synth") if train else jax.random.PRNGKey(0)
-        k1, k2 = jax.random.split(key)
+        k1, k2, kc = jax.random.split(key, 3)
+        ik1 = ik2 = None
+        if self.shared_contrast > 0:
+            ks, ka = jax.random.split(kc)
+            share = jax.random.bernoulli(ks, self.shared_contrast)
+            # fold_in with a traced branch id: share -> identical keys
+            ik1 = jax.random.fold_in(ka, 0)
+            ik2 = jax.random.fold_in(ka, jnp.where(share, 0, 1))
         gt_flow = None
         if self.sup_flow:
             ima_1, map_1, w1, inv_w1 = labels_to_image(
-                k1, src_labels, self.cfg, return_warp=True)
+                k1, src_labels, self.cfg, return_warp=True, intensity_key=ik1)
             ima_2, map_2, w2, _ = labels_to_image(
-                k2, trg_labels, self.cfg, return_warp=True)
+                k2, trg_labels, self.cfg, return_warp=True, intensity_key=ik2)
             # psi = phi_1^{-1} o phi_2 as a displacement:
             # f(x) = u_2(x) + u_1^{-1}(x + u_2(x))
             gt_flow = w2 + warp_ops.transform_batched(
                 inv_w1, w2, window_halo=None)
             gt_flow = jax.lax.stop_gradient(gt_flow)
         else:
-            ima_1, map_1 = labels_to_image(k1, src_labels, self.cfg)
-            ima_2, map_2 = labels_to_image(k2, trg_labels, self.cfg)
+            ima_1, map_1 = labels_to_image(k1, src_labels, self.cfg,
+                                           intensity_key=ik1)
+            ima_2, map_2 = labels_to_image(k2, trg_labels, self.cfg,
+                                           intensity_key=ik2)
 
         out = VxmDense(
             inshape=self.cfg.out_shape,
