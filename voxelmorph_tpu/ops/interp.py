@@ -111,27 +111,33 @@ def interpn(
         vol = vol.astype(compute_dtype)
 
     out_shape = loc.shape[:-1]
-    loc_flat = loc.reshape(-1, nd)  # (M, N)
+    # Unstack coordinates into per-dimension (M,) arrays IMMEDIATELY. Any
+    # (M, nd) intermediate is poison on TPU: if XLA materializes one (remat
+    # residual, scan carry, layout copy), the minor dim nd=3 pads to a 128
+    # lane tile — a 42x HBM expansion (measured: five 78 MB coordinate
+    # tensors held as 3.28 GB EACH in the probabilistic train step's OOM
+    # dump). Per-dim (M,) vectors tile densely no matter where they land.
+    loc_dims = [loc[..., d].reshape(-1) for d in range(nd)]  # nd x (M,)
     vol_flat = vol.reshape(-1, nch)  # (V, C)
-    strides = jnp.asarray(_flatten_strides(spatial), dtype=jnp.int32)  # (N,)
-    max_idx = jnp.asarray([s - 1 for s in spatial], dtype=jnp.int32)  # (N,)
-    max_loc = jnp.asarray([s - 1 for s in spatial], dtype=compute_dtype)
+    strides = _flatten_strides(spatial)  # python ints
+    max_loc = [s - 1 for s in spatial]
 
     if interp_method == "nearest":
-        idx = jnp.round(loc_flat).astype(jnp.int32)
-        idx = jnp.clip(idx, 0, max_idx)
-        lin = jnp.sum(idx * strides, axis=-1)
+        lin = functools.reduce(jnp.add, [
+            jnp.clip(jnp.round(l).astype(jnp.int32), 0, m) * s
+            for l, m, s in zip(loc_dims, max_loc, strides)
+        ])
         out = _gather_flat(vol_flat, lin)
     elif interp_method == "linear":
-        loc0 = jnp.floor(loc_flat)
-        clipped = jnp.clip(loc_flat, 0.0, max_loc)
-        idx0 = jnp.clip(loc0.astype(jnp.int32), 0, max_idx)  # (M, N)
-        # Weight of corner 1 along each dim; corner 0 gets (1 - w). At the top
-        # edge the +1 neighbor would clip to the same voxel and its weight
-        # collapses to 0, so the result is the edge value — matching the
-        # reference's clamp semantics.
-        w1 = clipped - idx0.astype(compute_dtype)
-        w0 = 1.0 - w1
+        # Per-dim floor index and corner-1 weight; corner 0 gets (1 - w). At
+        # the top edge the +1 neighbor would clip to the same voxel and its
+        # weight collapses to 0, so the result is the edge value — matching
+        # the reference's clamp semantics.
+        idx0 = [jnp.clip(jnp.floor(l).astype(jnp.int32), 0, m)
+                for l, m in zip(loc_dims, max_loc)]  # nd x (M,)
+        w1 = [jnp.clip(l, 0.0, m) - i.astype(compute_dtype)
+              for l, m, i in zip(loc_dims, max_loc, idx0)]  # nd x (M,)
+        w0 = [1.0 - w for w in w1]
 
         # TPU gathers cost ~the same per transaction whether a row holds 1 or
         # 128 values, so instead of 2^N scalar gathers per voxel we gather
@@ -142,20 +148,21 @@ def interpn(
         ncorners = 2**nd
         corner_bits = [[(c >> d) & 1 for d in range(nd)] for c in range(ncorners)]
         offsets = [
-            int(sum(b * s for b, s in zip(bits, _flatten_strides(spatial))))
+            int(sum(b * s for b, s in zip(bits, strides)))
             for bits in corner_bits
         ]
         table = jnp.concatenate(
             [jnp.roll(vol_flat, -off, axis=0) for off in offsets], axis=-1
         )  # (V, 2^N * C)
-        lin0 = jnp.sum(idx0 * strides, axis=-1)
+        lin0 = functools.reduce(
+            jnp.add, [i * s for i, s in zip(idx0, strides)])  # (M,)
         gathered = jnp.take(table, lin0, axis=0)  # (M, 2^N * C)
 
         wts = jnp.stack(
             [
                 functools.reduce(
                     jnp.multiply,
-                    [w1[:, d] if b else w0[:, d] for d, b in enumerate(bits)],
+                    [w1[d] if b else w0[d] for d, b in enumerate(bits)],
                 )
                 for bits in corner_bits
             ],
@@ -175,7 +182,9 @@ def interpn(
         raise ValueError(f"interp_method must be 'linear' or 'nearest', got {interp_method}")
 
     if fill_value is not None:
-        valid = jnp.all((loc_flat >= 0) & (loc_flat <= max_loc), axis=-1)
+        valid = functools.reduce(jnp.logical_and, [
+            (l >= 0) & (l <= m) for l, m in zip(loc_dims, max_loc)
+        ])
         out = jnp.where(valid[:, None], out, jnp.asarray(fill_value, out.dtype))
 
     out = out.reshape(*out_shape, nch)
