@@ -47,6 +47,12 @@ def parse_args(argv=None):
                         'train with this > 0 first, then resume without it; '
                         'the dense supervision escapes the zero-flow attractor '
                         'that the boundary-local Dice gradient cannot.')
+    p.add_argument('--shared-contrast', type=float, default=0.,
+                   help='probability that both images of a pair share one '
+                        'per-label GMM intensity draw. Sharing contrasts '
+                        'early makes local intensity cues informative from '
+                        'step one; anneal toward 0 (the contrast-agnostic '
+                        'SynthMorph endgame) across phases.')
     p.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate')
     p.add_argument('--dtype', default='float32', choices=['float32', 'bfloat16'],
                    help='U-Net compute dtype (bfloat16 halves activation HBM)')
@@ -117,6 +123,7 @@ def main(argv=None):
         svf_resolution=2,
         dtype=resolve_dtype(arg.dtype),
         sup_flow=arg.sup_flow_weight > 0,
+        shared_contrast=arg.shared_contrast,
     )
 
     dice = vxm.losses.Dice()
