@@ -82,9 +82,6 @@ def main(argv=None):
             os.path.join(args.out, f"train_{stem}.npz"))
         np.savez(tr_path, vol=vol, seg=seg)
         train_vols.append(tr_path)
-    if train_vols:
-        with open(os.path.join(args.out, "train_list.txt"), "w") as f:
-            f.write("\n".join(train_vols) + "\n")
         if args.augment:
             import jax
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(stem))
@@ -93,6 +90,9 @@ def main(argv=None):
                 var = np.asarray(make_variant(key, seg))
                 np.savez(os.path.join(args.out, f"lab_{stem}a{a}"), vol=var)
                 n_aug += 1
+    if train_vols:
+        with open(os.path.join(args.out, "train_list.txt"), "w") as f:
+            f.write("\n".join(train_vols) + "\n")
     if args.augment:
         print(f"augmented: {n_aug} extra warped label maps")
 
