@@ -83,7 +83,6 @@ def main(argv=None):
         np.savez(tr_path, vol=vol, seg=seg)
         train_vols.append(tr_path)
         if args.augment:
-            import jax
             base = jax.random.fold_in(jax.random.PRNGKey(args.seed), int(stem))
             for a in range(args.augment):
                 key = jax.random.fold_in(base, a)

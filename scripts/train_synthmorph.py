@@ -73,7 +73,10 @@ def parse_args(argv=None):
     p.add_argument('--int-steps', type=int, default=5, help='scaling-and-squaring steps for the SVF')
     p.add_argument('--enc', type=int, nargs='+', default=[64] * 4, help='encoder feature counts for the registration U-Net')
     p.add_argument('--dec', type=int, nargs='+', default=[64] * 6, help='U-Net decoder filters')
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if not 0.0 <= args.shared_contrast <= 1.0:
+        p.error(f'--shared-contrast must be in [0, 1], got {args.shared_contrast}')
+    return args
 
 
 def main(argv=None):
