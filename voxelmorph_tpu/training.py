@@ -167,8 +167,11 @@ def make_scanned_cached_label_step(model, loss_terms: Sequence[LossTerm], tx,
         steps = step0 + jnp.arange(k, dtype=jnp.int32)
         (params, state, opt_state), metrics = jax.lax.scan(
             body, (params, state, opt_state), (steps, picks, flips))
-        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
-        return params, state, opt_state, last
+        # dispatch-MEAN metrics: SynthMorph's per-step task difficulty (drawn
+        # warp magnitude) varies wildly, so a single step's value is too
+        # noisy to show a learning trend (round-2 phaseA lesson)
+        mean = jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+        return params, state, opt_state, mean
 
     return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
@@ -226,8 +229,9 @@ def make_scanned_cached_pair_step(model, loss_terms: Sequence[LossTerm], tx,
         steps = step0 + jnp.arange(k, dtype=jnp.int32)
         (params, state, opt_state), metrics = jax.lax.scan(
             body, (params, state, opt_state), (steps, picks, tuple(extras)))
-        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
-        return params, state, opt_state, last
+        # dispatch-mean metrics (see make_scanned_cached_label_step)
+        mean = jax.tree_util.tree_map(lambda m: m.mean(0), metrics)
+        return params, state, opt_state, mean
 
     return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
