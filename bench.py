@@ -5,11 +5,18 @@ Reproduces the reference's evaluation semantics (scripts/tf/test.py timing:
 warp prediction timed, compile excluded) on the canonical 160x192x224 volume
 with the default VxmDense (int_steps=7, int_downsize=2), and additionally:
 
-  * a batch-size x dtype sweep (bs in {1,2,4}, f32/bf16) — batch-size-1 is
+  * a batch-size x dtype sweep (bs in {1,2,4,8}, f32/bf16) — batch-size-1 is
     the reference's default but underutilizes the TPU (SURVEY §7);
-  * full train-step throughput (fwd+bwd+Adam) at full resolution;
   * an A/B of the scaling-and-squaring warp paths at integration resolution:
-    XLA corner-table gather vs Pallas bounded-displacement kernel.
+    XLA corner-table gather vs Pallas bounded-displacement kernel;
+  * full train-step throughput (fwd+bwd+Adam) at full resolution.
+
+DEADLINE DISCIPLINE (round-2 lesson: BENCH_r02 was rc=124 with no output).
+A watchdog thread emits the final JSON line from whatever has completed and
+hard-exits when the global deadline hits — even if the main thread is stuck
+inside a multi-minute XLA compile. Stages are ordered headline-first and the
+expensive train-step compiles are gated on remaining wall-clock. Override the
+budget with BENCH_DEADLINE_S (default 780 s).
 
 Timing note: on tunneled backends `block_until_ready` can return before
 execution completes, so each timed iteration is chained into an on-device
@@ -24,6 +31,7 @@ Prints ONE JSON line:
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -44,6 +52,48 @@ INSHAPE = (160, 192, 224)
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16, f32 runs through the same MXU
 # at half rate. MFU is reported against the dtype's own peak.
 PEAK_TFLOPS = {"bfloat16": 197.0, "float32": 98.5}
+
+T0 = time.monotonic()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "780"))
+
+# Shared result state: stages write into these as they complete so the
+# watchdog can always emit a meaningful partial line.
+RESULT = {"value": 0.0, "best_cfg": "", "detail": {}}
+_EMITTED = threading.Lock()
+
+
+def _remaining():
+    return DEADLINE_S - (time.monotonic() - T0)
+
+
+def _emit(partial=False):
+    """Print the one JSON line (at most once) and flush."""
+    if not _EMITTED.acquire(blocking=False):
+        return
+    value = RESULT["value"]
+    detail = dict(RESULT["detail"])
+    detail["best_config"] = RESULT["best_cfg"]
+    detail["elapsed_s"] = round(time.monotonic() - T0, 1)
+    if partial:
+        detail["deadline_hit"] = True
+    print(json.dumps({
+        "metric": "vxm_dense_registration_throughput_160x192x224",
+        "value": round(value, 4),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / BASELINE_CPU_PAIRS_PER_S, 2),
+        "baseline": "measured reference (torch-CPU) forward, 0.0470 pairs/s "
+                    "(scripts/measure_reference_baseline.py)",
+        "detail": detail,
+    }), flush=True)
+
+
+def _watchdog():
+    # Thread, not signal.alarm: a Python signal handler only runs between
+    # bytecodes, so a main thread stuck in a C++ XLA compile would never see
+    # it. os._exit from a thread escapes regardless.
+    time.sleep(max(0.0, DEADLINE_S - (time.monotonic() - T0)))
+    _emit(partial=True)
+    os._exit(0)
 
 
 def _short_err(e):
@@ -98,15 +148,19 @@ def _timed_chain(fn, *args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("float32", "bfloat16"),
+def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("bfloat16", "float32"),
                       iters=8, warmup=2):
-    """Registration forward throughput sweep. Returns (best, best_cfg, detail)."""
+    """Registration forward throughput sweep. Updates RESULT in place.
+
+    bf16 runs first: it holds the headline (BENCH_r01 best was bs4-bf16), so
+    a deadline hit mid-sweep still lands the number that matters.
+    """
     import jax
     import jax.numpy as jnp
     from voxelmorph_tpu.models import VxmDense
 
     moving, fixed = _load_pair()
-    best, best_cfg, detail = 0.0, "", {}
+    detail = RESULT["detail"]
     best_mfu = {}
     for dtype_name in dtypes:
         dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -133,8 +187,8 @@ def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("float32", "bfloat16"),
                 continue
             pairs_per_s = bs / dt
             detail[key] = round(pairs_per_s, 4)
-            if pairs_per_s > best:
-                best, best_cfg = pairs_per_s, key
+            if pairs_per_s > RESULT["value"]:
+                RESULT["value"], RESULT["best_cfg"] = pairs_per_s, key
                 flops = _compiled_flops(reg_probe, params, mv, fx)
                 if flops:
                     tfs = flops / dt / 1e12
@@ -144,7 +198,6 @@ def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("float32", "bfloat16"),
                         "mfu": round(tfs / PEAK_TFLOPS[dtype_name], 4),
                     }
     detail.update(best_mfu)
-    return best, best_cfg, detail
 
 
 def measure_train_step(iters=5, warmup=2, dtype_name="float32", batch_size=1):
@@ -212,7 +265,7 @@ def measure_vecint_ab(iters=10, warmup=2):
     vec = jnp.asarray(
         12.0 * rng.standard_normal((1, *shape, 3)).astype(np.float32) / 3.0)
 
-    out = {}
+    out = RESULT["detail"]
 
     @jax.jit
     def integ_gather(v):
@@ -232,7 +285,7 @@ def measure_vecint_ab(iters=10, warmup=2):
             out["vecint_adaptive_pallas_ms"] = round(
                 _timed_chain(integ_pallas, vec, iters=iters, warmup=warmup) * 1e3, 3)
         except Exception as e:
-            out["vecint_adaptive_pallas_ms"] = f"failed: {type(e).__name__}: {e}"
+            out["vecint_adaptive_pallas_ms"] = _short_err(e)
 
         @jax.jit
         def warp_pallas_once(v):
@@ -250,7 +303,7 @@ def measure_vecint_ab(iters=10, warmup=2):
             out["selfwarp_pallas_ms"] = round(
                 _timed_chain(warp_pallas_once, vec, iters=iters, warmup=warmup) * 1e3, 3)
         except Exception as e:
-            out["selfwarp_pallas_ms"] = f"failed: {type(e).__name__}: {e}"
+            out["selfwarp_pallas_ms"] = _short_err(e)
         out["selfwarp_gather_ms"] = round(
             _timed_chain(warp_gather_once, vec, iters=iters, warmup=warmup) * 1e3, 3)
 
@@ -271,7 +324,6 @@ def measure_vecint_ab(iters=10, warmup=2):
             # corner table: write 8x vol, then gather-read 8-wide rows + out
             traffic = voxels * 4 * nch * (1 + 8 + 8 + 8 + 1)
             out["selfwarp_gather_gbps_est"] = round(traffic / t / 1e9, 1)
-    return out
 
 
 def measure_cpu_baseline():
@@ -279,45 +331,50 @@ def measure_cpu_baseline():
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    best, cfg, detail = measure_inference(batch_sizes=(1,), dtypes=("float32",),
-                                          iters=2, warmup=1)
-    print("cpu baseline:", best, detail)
-    return best
+    measure_inference(batch_sizes=(1,), dtypes=("float32",), iters=2, warmup=1)
+    print("cpu baseline:", RESULT["value"], RESULT["detail"])
 
 
 if __name__ == "__main__":
     if "--cpu-baseline" in sys.argv:
         measure_cpu_baseline()
         sys.exit(0)
+    threading.Thread(target=_watchdog, daemon=True).start()
     _enable_compile_cache()
 
-    value, best_cfg, detail = measure_inference()
-    detail["best_config"] = best_cfg
+    detail = RESULT["detail"]
+
+    # Stage 1 — headline: inference sweep (bf16 first).
+    try:
+        measure_inference()
+    except Exception as e:
+        detail["inference_sweep"] = _short_err(e)
+
+    # Stage 2 — kernel A/B at integration resolution (small, fast compiles).
+    try:
+        measure_vecint_ab()
+    except Exception as e:
+        detail["vecint_ab"] = _short_err(e)
+
+    # Stage 3 — train-step throughput. Each config is a multi-minute cold
+    # XLA compile (what sank BENCH_r02), so each is gated on remaining
+    # wall-clock. bs1-f32 is the reference's default config; bs4-bf16 is the
+    # deployable TPU config.
     best_train = 0.0
-    for dtype_name, bs in (("float32", 1), ("bfloat16", 1), ("bfloat16", 4),
-                           ("bfloat16", 8)):
+    for dtype_name, bs, min_s in (("float32", 1, 300), ("bfloat16", 4, 240)):
         key = f"train_step_s_bs{bs}_{'bf16' if dtype_name == 'bfloat16' else 'f32'}"
+        if _remaining() < min_s:
+            detail[key] = f"skipped: {_remaining():.0f}s left < {min_s}s gate"
+            continue
         try:
             step_s = measure_train_step(dtype_name=dtype_name, batch_size=bs)
             detail[key] = round(step_s, 3)
             best_train = max(best_train, bs / step_s)
+            # headline training throughput: best measured configuration (the
+            # reference trains bs1-f32 by default, but nothing stops a TPU
+            # user from batching — this is the deployable number)
+            detail["train_pairs_per_s"] = round(best_train, 4)
         except Exception as e:
             detail[key] = _short_err(e)
-    # headline training throughput: best measured configuration (the
-    # reference trains bs1-f32 by default, but nothing stops a TPU user from
-    # batching — this is the deployable number)
-    detail["train_pairs_per_s"] = round(best_train, 4)
-    try:
-        detail.update(measure_vecint_ab())
-    except Exception as e:
-        detail["vecint_ab"] = _short_err(e)
 
-    print(json.dumps({
-        "metric": "vxm_dense_registration_throughput_160x192x224",
-        "value": round(value, 4),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(value / BASELINE_CPU_PAIRS_PER_S, 2),
-        "baseline": "measured reference (torch-CPU) forward, 0.0470 pairs/s "
-                    "(scripts/measure_reference_baseline.py)",
-        "detail": detail,
-    }))
+    _emit()
