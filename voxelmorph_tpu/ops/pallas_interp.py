@@ -152,13 +152,24 @@ def _dtri(d, o):
     return jnp.where(jnp.abs(d - o) < 1.0, -jnp.sign(d - o), 0.0)
 
 
-def _warp_kernel(h, tz, spatial, nch, win_ref, out_ref):
+def _lane_pad(w_center: int, p: int) -> int:
+    """Extra right-pad so the window width (center + 2p) is a 128-lane
+    multiple. Measured win on the v3 retile: aligned window DMAs. The pad
+    columns carry zero shift (clamped coordinates stay in range, so no NaNs)
+    and are cropped from the result; valid columns never read pad-region
+    values of g/shift (zero-padded) beyond what the halo pad already
+    implied."""
+    return (-(w_center + 2 * p)) % 128
+
+
+def _warp_kernel(h, tz, spatial, nch, ww, win_ref, out_ref):
     """One z-slab: accumulate the (2h+1)^3 shifted-slice terms in VMEM.
 
-    win_ref: (1, nch+3, TZ+2p, H+2p, W+2p) packed window — channels
+    win_ref: (1, nch+3, TZ+2p, H+2p, WW+2p) packed window — channels
              [0, nch) the edge-padded volume, [nch, nch+3) the zero-padded
-             displacement components.
-    out_ref: (1, nch, TZ, H, W)
+             displacement components; WW = W + lane pad.
+    out_ref: (nch, TZ, H, WW), block-placed at (0, i*TZ, 0, 0) of the
+             (nch, D_pad, H, WW) result — no epilogue transpose.
     """
     import jax.experimental.pallas as pl
 
@@ -170,8 +181,8 @@ def _warp_kernel(h, tz, spatial, nch, win_ref, out_ref):
     # effective per-axis displacement after clamping to the volume border;
     # |d_eff| <= h everywhere given the caller's |shift| <= h guard
     fiota = lambda d: jax.lax.broadcasted_iota(
-        jnp.int32, (tz, H, W), d).astype(jnp.float32)
-    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + H, p:p + W]
+        jnp.int32, (tz, H, ww), d).astype(jnp.float32)
+    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + H, p:p + ww]
     z_base = (i * tz).astype(jnp.float32) + fiota(0)
     dz = jnp.clip(z_base + ctr(nch), 0.0, D - 1.0) - z_base
     y_base = fiota(1)
@@ -186,8 +197,10 @@ def _warp_kernel(h, tz, spatial, nch, win_ref, out_ref):
     # bounds Mosaic's live set to ONE z-plane of taps. The fully-unrolled
     # (2h+1)^3 version let the scheduler keep every tap slice live at once
     # and overran the 16 MB scoped-VMEM stack (measured: 16.64M at halo=2,
-    # 96x112 slabs, vs a 4.5M analytic model).
-    def oz_body(ozi, accs):
+    # 96x112 slabs, vs a 4.5M analytic model). The channel axis rides INSIDE
+    # each accumulate (one (nch, tz, H, WW) op per tap) — measured ~35%
+    # faster than per-channel accumulator ops.
+    def oz_body(ozi, acc):
         # oz = ozi - h; window z-slice [p + oz, p + oz + tz) starts at ozi
         ozf = ozi.astype(jnp.float32) - float(h)
         wz = _tri(dz, ozf)
@@ -196,17 +209,14 @@ def _warp_kernel(h, tz, spatial, nch, win_ref, out_ref):
             for ox in range(-h, h + 1):
                 # weights once per offset, applied to every channel
                 w = wzy * _tri(dx, float(ox))
-                accs = tuple(
-                    acc + w * win_ref[0, c, pl.ds(ozi, tz),
-                                      p + oy:p + oy + H, p + ox:p + ox + W]
-                    for c, acc in enumerate(accs))
-        return accs
+                tap = win_ref[0, 0:nch, pl.ds(ozi, tz),
+                              p + oy:p + oy + H, p + ox:p + ox + ww]
+                acc = acc + w[None] * tap
+        return acc
 
-    accs = jax.lax.fori_loop(
-        0, n_off, oz_body,
-        tuple(jnp.zeros((tz, H, W), jnp.float32) for _ in range(nch)))
-    for c in range(nch):
-        out_ref[0, c] = accs[c]
+    acc = jax.lax.fori_loop(
+        0, n_off, oz_body, jnp.zeros((nch, tz, H, ww), jnp.float32))
+    out_ref[...] = acc
 
 
 def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
@@ -219,43 +229,48 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
     assert tz is not None, "caller must gate on kernel_vmem_fits"
     grid = (D + tz - 1) // tz
     d_pad = grid * tz  # pad D so every slab is full-size
+    wpad = _lane_pad(W, p)
+    ww = W + wpad
 
-    pads3 = [(p, p + (d_pad - D)), (p, p), (p, p)]
+    pads3 = [(p, p + (d_pad - D)), (p, p), (p, p + wpad)]
     vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
     s_p = jnp.stack([jnp.pad(s, pads3) for s in (sz, sy, sx)], 0)
     wins = _window_stack(jnp.concatenate([vol_p, s_p], 0), tz, p, grid)
 
-    kernel = functools.partial(_warp_kernel, h, tz, (D, H, W), nch)
+    kernel = functools.partial(_warp_kernel, h, tz, (D, H, W), nch, ww)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((1, nch + 3, tz + 2 * p, H + 2 * p, W + 2 * p),
+        in_specs=[pl.BlockSpec((1, nch + 3, tz + 2 * p, H + 2 * p, ww + 2 * p),
                                lambda i: (i, 0, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, nch, tz, H, W),
-                               lambda i: (i, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, nch, tz, H, W), jnp.float32),
+        out_specs=pl.BlockSpec((nch, tz, H, ww),
+                               lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch, d_pad, H, ww), jnp.float32),
         interpret=_INTERPRET,
     )(wins)
-    return out.transpose(1, 0, 2, 3, 4).reshape(nch, d_pad, H, W)[:, :D]
+    return out[:, :D, :, :W]
 
 
 # ------------------------------------------------------------ backward kernel
 
-def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
+def _bwd_kernel(h, tz, spatial, nch, ww, win_ref, out_ref):
     """One z-slab of the warp VJP.
 
-    win_ref: (1, 2*nch+3, TZ+2p, H+2p, W+2p) packed window — channels
+    win_ref: (1, 2*nch+3, TZ+2p, H+2p, WW+2p) packed window — channels
              [0, nch) the edge-padded volume, [nch, 2*nch) the zero-padded
-             cotangent g, [2*nch, 2*nch+3) the zero-padded shift components.
-    out_ref: (1, nch+3, TZ, H, W) — [0, nch) dvol, [nch, nch+3) dshift.
+             cotangent g, [2*nch, 2*nch+3) the zero-padded shift components;
+             WW = W + lane pad.
+    out_ref: (nch+3, TZ, H, WW), block-placed at (0, i*TZ, 0, 0) —
+             [0, nch) dvol, [nch, nch+3) dshift.
 
       d vol[u]     = sum_o w_o(u - o) g(u - o)
       d shift_a(x) = [not clamped]_a(x) * sum_o (dw_o/dd_a)(x) vol[x + o] . g(x)
 
     The dvol terms slice every input at the FLIPPED offset and recompute the
     weights there (slab-sized temporaries only); the dshift terms use the
-    slab-centered fields. All offsets are statically unrolled; triangle
-    weights are computed once per offset and shared across channels.
+    slab-centered fields. y/x offsets are statically unrolled; triangle
+    weights are computed once per offset and shared across channels (the
+    channel axis rides inside each accumulate, like the forward kernel).
     """
     import jax.experimental.pallas as pl
 
@@ -266,12 +281,12 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
     cg = nch       # g channel base
     cs = 2 * nch   # shift channel base
 
-    iota = lambda d: jax.lax.broadcasted_iota(jnp.int32, (tz, H, W), d)
+    iota = lambda d: jax.lax.broadcasted_iota(jnp.int32, (tz, H, ww), d)
     z0 = (i * tz + iota(0)).astype(jnp.float32)
     y0 = iota(1).astype(jnp.float32)
     x0 = iota(2).astype(jnp.float32)
 
-    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + H, p:p + W]
+    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + H, p:p + ww]
     sz0, sy0, sx0 = ctr(cs), ctr(cs + 1), ctr(cs + 2)
     dz0 = jnp.clip(z0 + sz0, 0.0, D - 1.0) - z0
     dy0 = jnp.clip(y0 + sy0, 0.0, H - 1.0) - y0
@@ -280,15 +295,14 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
     in_z = ((z0 + sz0) > 0.0) & ((z0 + sz0) < D - 1.0)
     in_y = ((y0 + sy0) > 0.0) & ((y0 + sy0) < H - 1.0)
     in_x = ((x0 + sx0) > 0.0) & ((x0 + sx0) < W - 1.0)
-    g0 = [ctr(cg + c) for c in range(nch)]
+    g0 = win_ref[0, cg:cg + nch, p:p + tz, p:p + H, p:p + ww]
 
-    zeros = lambda: jnp.zeros((tz, H, W), jnp.float32)
+    zeros = lambda: jnp.zeros((tz, H, ww), jnp.float32)
 
     # z offsets as a fori_loop with dynamic z-starts, y/x statically unrolled
     # — same liveness-bounding structure as the forward kernel (see its note)
     def oz_body(ozi, carry):
-        dvol = list(carry[:nch])
-        dsz, dsy, dsx = carry[nch:]
+        dvol, dsz, dsy, dsx = carry
         ozf = ozi.astype(jnp.float32) - float(h)
         # --- dvol: read everything at the flipped offset (y - o);
         # window z-slice [p - oz, p - oz + tz) starts at 2h - ozi ---
@@ -297,7 +311,7 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
         for oy in range(-h, h + 1):
             for ox in range(-h, h + 1):
                 ysl = slice(p - oy, p - oy + H)
-                xsl = slice(p - ox, p - ox + W)
+                xsl = slice(p - ox, p - ox + ww)
                 yq = y0 - float(oy)
                 xq = x0 - float(ox)
                 valid = ((zq >= 0.0) & (zq <= D - 1.0) & (yq >= 0.0)
@@ -311,8 +325,7 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
                 w = jnp.where(valid,
                               _tri(dzq, ozf) * _tri(dyq, float(oy))
                               * _tri(dxq, float(ox)), 0.0)
-                dvol = [dv + w * win_ref[0, cg + c, zs, ysl, xsl]
-                        for c, dv in enumerate(dvol)]
+                dvol = dvol + w[None] * win_ref[0, cg:cg + nch, zs, ysl, xsl]
 
         # --- dshift: same-position weights, taps at + offset;
         # window z-slice [p + oz, p + oz + tz) starts at ozi ---
@@ -323,25 +336,23 @@ def _bwd_kernel(h, tz, spatial, nch, win_ref, out_ref):
             for ox in range(-h, h + 1):
                 wx, dwx = _tri(dx0, float(ox)), _dtri(dx0, float(ox))
                 ysl = slice(p + oy, p + oy + H)
-                xsl = slice(p + ox, p + ox + W)
-                gv = zeros()
-                for c in range(nch):
-                    gv = gv + g0[c] * win_ref[0, c, zs2, ysl, xsl]
+                xsl = slice(p + ox, p + ox + ww)
+                tap = win_ref[0, 0:nch, zs2, ysl, xsl]
+                gv = jnp.sum(g0 * tap, axis=0)
                 dsz = dsz + gv * dwz * wy * wx
                 dsy = dsy + gv * wz * dwy * wx
                 dsx = dsx + gv * wz * wy * dwx
-        return (*dvol, dsz, dsy, dsx)
+        return (dvol, dsz, dsy, dsx)
 
     carry = jax.lax.fori_loop(
-        0, n_off, oz_body, tuple(zeros() for _ in range(nch + 3)))
-    dvol = carry[:nch]
-    dsz, dsy, dsx = carry[nch:]
+        0, n_off, oz_body,
+        (jnp.zeros((nch, tz, H, ww), jnp.float32), zeros(), zeros(), zeros()))
+    dvol, dsz, dsy, dsx = carry
 
-    for c in range(nch):
-        out_ref[0, c] = dvol[c]
-    out_ref[0, nch] = jnp.where(in_z, dsz, 0.0)
-    out_ref[0, nch + 1] = jnp.where(in_y, dsy, 0.0)
-    out_ref[0, nch + 2] = jnp.where(in_x, dsx, 0.0)
+    out_ref[0:nch] = dvol
+    out_ref[nch] = jnp.where(in_z, dsz, 0.0)
+    out_ref[nch + 1] = jnp.where(in_y, dsy, 0.0)
+    out_ref[nch + 2] = jnp.where(in_x, dsx, 0.0)
 
 
 def _bwd_impl_pallas(vol_cf, shift, g, h: int):
@@ -353,26 +364,28 @@ def _bwd_impl_pallas(vol_cf, shift, g, h: int):
     assert tz is not None, "caller must gate on kernel_vmem_fits"
     grid = (D + tz - 1) // tz
     d_pad = grid * tz
+    wpad = _lane_pad(W, p)
+    ww = W + wpad
 
-    pads3 = [(p, p + (d_pad - D)), (p, p), (p, p)]
+    pads3 = [(p, p + (d_pad - D)), (p, p), (p, p + wpad)]
     vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
     g_p = jnp.pad(g, [(0, 0)] + pads3)
     s_p = jnp.stack([jnp.pad(shift[..., a], pads3) for a in range(3)], 0)
     wins = _window_stack(jnp.concatenate([vol_p, g_p, s_p], 0), tz, p, grid)
 
-    kernel = functools.partial(_bwd_kernel, h, tz, (D, H, W), nch)
+    kernel = functools.partial(_bwd_kernel, h, tz, (D, H, W), nch, ww)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(
-            (1, 2 * nch + 3, tz + 2 * p, H + 2 * p, W + 2 * p),
+            (1, 2 * nch + 3, tz + 2 * p, H + 2 * p, ww + 2 * p),
             lambda i: (i, 0, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, nch + 3, tz, H, W),
-                               lambda i: (i, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, nch + 3, tz, H, W), jnp.float32),
+        out_specs=pl.BlockSpec((nch + 3, tz, H, ww),
+                               lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch + 3, d_pad, H, ww), jnp.float32),
         interpret=_INTERPRET,
     )(wins)
-    out = out.transpose(1, 0, 2, 3, 4).reshape(nch + 3, d_pad, H, W)[:, :D]
+    out = out[:, :D, :, :W]
     dvol = out[:nch]
     dshift = jnp.moveaxis(out[nch:], 0, -1)
     return dvol, dshift

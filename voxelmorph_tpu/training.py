@@ -633,12 +633,17 @@ class Trainer:
         try:
             for epoch in range(initial_epoch, epochs):
                 t0 = time.time()
-                last_metrics = {}
+                step_metrics = []
                 for _ in range(steps_per_epoch):
                     inputs, targets = next(gen)
-                    last_metrics = self.train_step(inputs, targets)
-                # force a sync to time realistically
-                last_metrics = {k: float(v) for k, v in last_metrics.items()}
+                    # device scalars: no host sync until the epoch boundary
+                    step_metrics.append(self.train_step(inputs, targets))
+                # epoch-MEAN metrics (a single step's values are too noisy to
+                # show a trend when per-step task difficulty varies); the
+                # float() fetch here is also the realistic-timing sync point
+                last_metrics = {
+                    k: float(np.mean([float(m[k]) for m in step_metrics]))
+                    for k in step_metrics[-1]}
                 dt = time.time() - t0
                 msg = " - ".join(f"{k}: {v:.6f}" for k, v in sorted(last_metrics.items()))
                 log_fn(f"epoch {epoch + 1}/{epochs} [{dt:.1f}s, "
