@@ -97,8 +97,19 @@ def _watchdog():
 
 
 def _short_err(e):
-    """Loud failure string: type + first line of the real message."""
-    msg = str(e).strip().split("\n")[0][:200]
+    """Loud failure string: type + the most diagnostic line of the message.
+
+    The tunneled backend wraps compile errors in an opaque HTTP 500; when the
+    body carries the real XLA OOM accounting (e.g. "Ran out of memory in
+    memory space hbm. Used 39.38G of 15.75G"), surface THAT line — it names
+    the actual ceiling (diagnosed root cause of the bs8 failures: a
+    compressed-remat copy in a channel-minor layout pads bf16[8,...,16]
+    8x to 13.1 GB)."""
+    text = str(e)
+    for line in text.split("\n"):
+        if "Ran out of memory" in line or "Exceeded" in line:
+            return f"failed: {type(e).__name__}: {line.strip()[:300]}"
+    msg = text.strip().split("\n")[0][:200]
     return f"failed: {type(e).__name__}: {msg}"
 
 
