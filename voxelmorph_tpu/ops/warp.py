@@ -218,16 +218,29 @@ def transform(
         and tuple(loc_volshape) == tuple(vol.shape[:-1])
     )
     if use_window:
-        max_d = jnp.max(jnp.abs(loc_shift))
-        out = jax.lax.cond(
-            max_d <= float(window_halo),
-            lambda args: _windowed_impl(args[0], args[1], window_halo),
-            gather_path,
+        out = _tiered_windowed_switch(
             (vol, loc_shift),
-        )
+            lambda args, h: _windowed_impl(args[0], args[1], h),
+            gather_path, window_halo, jnp.max(jnp.abs(loc_shift)))
     else:
         out = gather_path((vol, loc_shift))
     return out[..., 0] if squeeze_channel else out
+
+
+def _tiered_windowed_switch(args, windowed_fn, gather_fn, window_halo, max_d):
+    """Dispatch a warp on the runtime displacement bound, TIERED by halo.
+
+    The kernel cost grows with (2h+1)^3 taps (halo 1 measured ~2.8x cheaper
+    than halo 2), and early scaling-and-squaring steps have tiny
+    displacements — so instead of one halo-or-gather cond, pick the SMALLEST
+    sufficient halo: max|d| <= 1 -> halo-1 kernel, <= window_halo -> full-halo
+    kernel, else the gather. One lax.switch, hoisted above any vmap.
+    """
+    tiers = sorted({1, int(window_halo)})
+    index = sum(jnp.int32(max_d > float(h)) for h in tiers)
+    branches = [(lambda a, h=h: windowed_fn(a, h)) for h in tiers]
+    branches.append(gather_fn)
+    return jax.lax.switch(index, branches, args)
 
 
 def transform_batched(
@@ -256,13 +269,11 @@ def transform_batched(
     )
     if not use_window:
         return gather(vols, shifts)
-    windowed = jax.vmap(lambda v, s: _windowed_impl(v, s, window_halo))
-    return jax.lax.cond(
-        jnp.max(jnp.abs(shifts)) <= float(window_halo),
-        lambda args: windowed(*args),
-        lambda args: gather(*args),
+    return _tiered_windowed_switch(
         (vols, shifts),
-    )
+        lambda args, h: jax.vmap(lambda v, s: _windowed_impl(v, s, h))(*args),
+        lambda args: gather(*args), window_halo,
+        jnp.max(jnp.abs(shifts)))
 
 
 def integrate_vec_batched(
