@@ -71,3 +71,20 @@ def test_integrate_vec_uses_windowed_consistently():
 
     b = np.asarray(integrate_gather(v, 5))
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_tiered_dispatch_all_three_regimes():
+    """window_halo=2 dispatch == gather for shifts in each switch tier:
+    max|d| <= 1 (halo-1 kernel), in (1, 2] (halo-2 kernel), > 2 (gather)."""
+    vol = jnp.asarray(RNG.normal(size=(8, 8, 8, 2)).astype(np.float32))
+    for scale in (0.9, 1.9, 3.5):
+        shift = jnp.asarray(
+            RNG.uniform(-scale, scale, size=(8, 8, 8, 3)).astype(np.float32))
+        # pin the max so the intended tier is actually selected
+        shift = shift.at[0, 0, 0, 0].set(scale)
+        a = np.asarray(W.transform(vol, shift, window_halo=2))
+        b = np.asarray(W.transform(vol, shift, window_halo=None))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+        ab = np.asarray(W.transform_batched(
+            vol[None], shift[None], window_halo=2))[0]
+        np.testing.assert_allclose(ab, b, rtol=1e-4, atol=1e-4)
