@@ -27,18 +27,20 @@ import jax.numpy as jnp
 __all__ = ["NCC", "MSE", "TukeyBiweight", "Dice", "Grad", "KL", "MutualInformation"]
 
 
-def _window_sum(x: jnp.ndarray, win: Sequence[int]) -> jnp.ndarray:
+def _window_sum(x: jnp.ndarray, win: Sequence[int],
+                axes: Optional[Sequence[int]] = None) -> jnp.ndarray:
     """Separable moving-window sum with SAME zero padding over spatial axes.
 
-    x: (B, *spatial, C). Equivalent to convolving with an all-ones kernel of
+    x: (B, *spatial, C) by default, or pass ``axes`` to name the spatial
+    dims explicitly. Equivalent to convolving with an all-ones kernel of
     shape ``win`` (per channel), computed as ndims successive 1-D convolutions.
     """
-    ndims = x.ndim - 2
-    for d in range(ndims):
+    if axes is None:
+        axes = tuple(range(1, x.ndim - 1))
+    for d, axis in enumerate(axes):
         w = win[d]
         if w == 1:
             continue
-        axis = d + 1
         # SAME padding: total w-1, split left/right like conv.
         pad_lo = (w - 1) // 2
         pad_hi = w - 1 - pad_lo
@@ -83,10 +85,15 @@ class NCC:
         in_ch = Ji.shape[-1]
         # The reference's conv kernel sums over channels as well as the
         # window; channel-sum commutes with the window sum, so pre-reduce.
-        stack = jnp.stack([Ii, Ji, Ii * Ii, Ji * Ji, Ii * Ji], axis=-1)  # (B,*S,C,5)
-        stack = jnp.sum(stack, axis=-2)  # (B,*S,5)
-        sums = _window_sum(stack, win)
-        I_sum, J_sum, I2_sum, J2_sum, IJ_sum = [sums[..., k:k + 1] for k in range(5)]
+        # The five statistics ride the LEADING axis, (5, B, *S): any buffer
+        # the backward pass saves then has large spatial minor dims and
+        # tiles densely on TPU — a trailing stats/channel axis of 5 (or the
+        # per-stat (B,*S,1) slices) would lane-pad up to 128x when
+        # materialized as a grad residual.
+        stack = jnp.stack([Ii, Ji, Ii * Ii, Ji * Ji, Ii * Ji], axis=0)  # (5,B,*S,C)
+        stack = jnp.sum(stack, axis=-1)  # (5,B,*S)
+        sums = _window_sum(stack, win, axes=tuple(range(2, 2 + ndims)))
+        I_sum, J_sum, I2_sum, J2_sum, IJ_sum = [sums[k] for k in range(5)]
 
         win_size = math.prod(win) * in_ch
         u_I = I_sum / win_size
@@ -98,8 +105,12 @@ class NCC:
         J_var = jnp.maximum(J2_sum - 2 * u_J * J_sum + u_J * u_J * win_size, self.eps)
 
         if self.signed:
-            return cross / jnp.sqrt(I_var * J_var + self.eps)
-        return (cross / I_var) * (cross / J_var)
+            cc = cross / jnp.sqrt(I_var * J_var + self.eps)
+        else:
+            cc = (cross / I_var) * (cross / J_var)
+        # keep the reference's (B, *S, 1) output contract; only the
+        # internal buffers ride the dense stats-leading layout
+        return cc[..., None]
 
     def loss(self, y_true, y_pred, reduce: Optional[str] = "mean"):
         cc = self.ncc(y_true, y_pred)
@@ -123,6 +134,13 @@ class MSE:
         return jnp.square(y_true - y_pred)
 
     def loss(self, y_true, y_pred, reduce: Optional[str] = "mean"):
+        if reduce == "mean":
+            # flatten first: a (B,*S,1) squared-error residual materialized
+            # by the backward pass would lane-pad 128x on TPU; rank-2 with a
+            # multi-million minor dim tiles densely
+            m = self.mse(y_true.reshape(y_true.shape[0], -1),
+                         y_pred.reshape(y_pred.shape[0], -1))
+            return (1.0 / (self.image_sigma ** 2)) * jnp.mean(m)
         m = self.mse(y_true, y_pred)
         if reduce == "mean":
             m = jnp.mean(m)
@@ -174,27 +192,34 @@ class Grad:
         self.loss_mult = loss_mult
         self.vox_weight = vox_weight
 
-    def _diffs(self, y):
+    def _diffs(self, y, vox_weight=None):
+        # y arrives channels-FIRST (B, C, *spatial): every slice/diff temp
+        # the backward pass materializes then has large spatial minor dims
+        # (dense TPU tiling); a trailing C=3 axis would lane-pad ~42x.
         ndims = y.ndim - 2
         df = []
         for i in range(ndims):
-            axis = i + 1
+            axis = i + 2
             n = y.shape[axis]
             hi = jax.lax.slice_in_dim(y, 1, n, axis=axis)
             lo = jax.lax.slice_in_dim(y, 0, n - 1, axis=axis)
             d = hi - lo
-            if self.vox_weight is not None:
-                w = jax.lax.slice_in_dim(self.vox_weight, 1, n, axis=axis)
+            if vox_weight is not None:
+                w = jax.lax.slice_in_dim(vox_weight, 1, n, axis=axis)
                 d = w * d
             df.append(d)
         return df
 
     def loss(self, _, y_pred):
+        y = jnp.moveaxis(y_pred, -1, 1)
+        vw = None
+        if self.vox_weight is not None:
+            vw = jnp.moveaxis(self.vox_weight, -1, 1)
         if self.penalty == "l1":
-            dif = [jnp.abs(f) for f in self._diffs(y_pred)]
+            dif = [jnp.abs(f) for f in self._diffs(y, vw)]
         else:
             assert self.penalty == "l2", f"penalty can only be l1 or l2. Got: {self.penalty}"
-            dif = [f * f for f in self._diffs(y_pred)]
+            dif = [f * f for f in self._diffs(y, vw)]
         df = [jnp.mean(f.reshape(f.shape[0], -1), axis=-1) for f in dif]
         grad = sum(df) / len(df)
         if self.loss_mult is not None:
@@ -239,10 +264,11 @@ class KL:
         self.D = _degree_matrix(self.flow_vol_shape)
 
     def prec_loss(self, y_pred):
+        # channels-first (B, C, *spatial): grad-saved diff temps tile densely
         ndims = y_pred.ndim - 2
         sm = 0.0
         for i in range(ndims):
-            axis = i + 1
+            axis = i + 2
             n = y_pred.shape[axis]
             df = (jax.lax.slice_in_dim(y_pred, 1, n, axis=axis)
                   - jax.lax.slice_in_dim(y_pred, 0, n - 1, axis=axis))
@@ -251,10 +277,15 @@ class KL:
 
     def loss(self, y_true, y_pred):
         ndims = y_pred.ndim - 2
-        mean = y_pred[..., :ndims]
-        log_sigma = y_pred[..., ndims:]
+        # move channels to axis 1 so every elementwise/diff temp that the
+        # backward pass saves has large spatial minors (a trailing C=3 axis
+        # lane-pads ~42x on TPU when such a residual materializes)
+        y = jnp.moveaxis(y_pred, -1, 1)
+        mean = y[:, :ndims]
+        log_sigma = y[:, ndims:]
+        D = jnp.moveaxis(self.D, -1, 1)
 
-        sigma_term = self.prior_lambda * self.D * jnp.exp(log_sigma) - log_sigma
+        sigma_term = self.prior_lambda * D * jnp.exp(log_sigma) - log_sigma
         sigma_term = jnp.mean(sigma_term)
         prec_term = self.prior_lambda * self.prec_loss(mean)
         return 0.5 * ndims * (sigma_term + prec_term)
