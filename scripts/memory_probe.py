@@ -115,8 +115,18 @@ def main(argv=None):
                               - mem.alias_size_in_bytes) / 2**30, 3),
         }
     except Exception as e:
+        text = str(e)
+        # surface the XLA OOM accounting + largest-buffer lines when the
+        # tunneled backend wraps them in an opaque HTTP 500 (same idea as
+        # bench._short_err, but keep the whole buffer table for diagnosis)
+        keep = [ln for ln in text.split("\n")
+                if any(k in ln for k in ("Ran out of memory", "Exceeded",
+                                         "Largest program allocations",
+                                         "Allocation type", "Buffer", "GB",
+                                         "MiB", "XLA label", "Shape"))]
         report = {"config": vars(args), "what": label, "compiled": False,
-                  "error": f"{type(e).__name__}: {str(e)[:500]}"}
+                  "error": f"{type(e).__name__}: {text[:600]}",
+                  "oom_lines": keep[:80]}
     print(json.dumps(report))
 
 

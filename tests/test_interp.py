@@ -73,3 +73,54 @@ def test_resize_linear_against_coords():
     mesh = np.stack(np.meshgrid(*axes, indexing="ij"), -1)
     want = interpn_np(np.asarray(vol), mesh)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_linear_1ch_custom_vjp_matches_autodiff(nd):
+    """The 1-channel linear path carries a hand-written dense-layout VJP;
+    its gradients (w.r.t. volume AND locations, including edge-clamped
+    samples) must match autodiff of the generic multi-channel path."""
+    import jax
+
+    spatial = [7, 6, 5][:nd]
+    vol = RNG.normal(size=(*spatial, 1)).astype(np.float32)
+    # locations spanning interior, clamped-low and clamped-high regions
+    loc = RNG.uniform(-1.5, max(spatial) + 1.5, size=(40, nd)).astype(np.float32)
+
+    def via_1ch(v, l):
+        out = I.interpn(v, l, interp_method="linear")
+        return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+    def via_generic(v, l):
+        # duplicate the channel: routes through the nch>1 autodiff path
+        out = I.interpn(jnp.concatenate([v, v], -1), l, interp_method="linear")
+        half = jnp.arange(out.shape[0] * 1.0)[:, None]
+        return jnp.sum(out[..., :1] * half.reshape(out[..., :1].shape))
+
+    g1v, g1l = jax.grad(via_1ch, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(loc))
+    g2v, g2l = jax.grad(via_generic, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(loc))
+    np.testing.assert_allclose(np.asarray(g1v), np.asarray(g2v) / 1.0, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1l), np.asarray(g2l), rtol=1e-4, atol=1e-4)
+
+
+def test_linear_1ch_custom_vjp_under_vmap():
+    import jax
+
+    spatial = (6, 5, 4)
+    vol = RNG.normal(size=(2, *spatial, 1)).astype(np.float32)
+    loc = RNG.uniform(-1, 7, size=(2, 30, 3)).astype(np.float32)
+
+    def loss(v, l):
+        out = jax.vmap(lambda vi, li: I.interpn(vi, li))(v, l)
+        return jnp.sum(out ** 2)
+
+    gv, gl = jax.grad(loss, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(loc))
+
+    def loss_ref(v, l):
+        out = jax.vmap(lambda vi, li: I.interpn(
+            jnp.concatenate([vi, vi], -1), li)[..., :1])(v, l)
+        return jnp.sum(out ** 2)
+
+    gv2, gl2 = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(loc))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gl2), rtol=2e-4, atol=2e-4)

@@ -75,6 +75,91 @@ def _gather_flat(vol_flat: jnp.ndarray, lin_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(vol_flat, lin_idx, axis=0)
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_gather_1ch(spatial: tuple, dtype_name: str):
+    """Single-channel multilinear gather with a hand-written dense VJP.
+
+    Forward is the corner-table single-gather (see ``interpn``). The
+    autodiff backward of that formulation materializes a zeros-init
+    scatter operand of shape (M, 2^N) whose 2^N minor dim lane-pads 16x
+    on TPU — measured as a 14.1 GB `broadcast(constant)` HLO temp in the
+    batch-4 full-res train step's OOM dump. This custom VJP instead
+    accumulates per-corner (M,) vectors: one rank-1 scatter-add per corner
+    for d/dvol and pure elementwise math for d/dloc, so every backward
+    buffer tiles densely. Gradient semantics exactly mirror autodiff of
+    the forward ops, including the clamp-to-edge behavior (clip passes
+    gradient at the boundary value itself, blocks it beyond).
+    """
+    nd = len(spatial)
+    strides = _flatten_strides(spatial)
+    max_loc = [s - 1 for s in spatial]
+    V = 1
+    for s in spatial:
+        V *= int(s)
+    ncorners = 2 ** nd
+    corner_bits = [[(c >> d) & 1 for d in range(nd)] for c in range(ncorners)]
+    offsets = [int(sum(b * s for b, s in zip(bits, strides)))
+               for bits in corner_bits]
+    wdtype = jnp.dtype(dtype_name)
+
+    def _weights(loc_dims):
+        idx0 = [jnp.clip(jnp.floor(l).astype(jnp.int32), 0, m)
+                for l, m in zip(loc_dims, max_loc)]
+        w1 = [jnp.clip(l, 0.0, m) - i.astype(wdtype)
+              for l, m, i in zip(loc_dims, max_loc, idx0)]
+        w0 = [1.0 - w for w in w1]
+        lin0 = functools.reduce(
+            jnp.add, [i * s for i, s in zip(idx0, strides)])
+        return w0, w1, lin0
+
+    def _corner_w(w0, w1, bits):
+        return functools.reduce(
+            jnp.multiply, [w1[d] if b else w0[d] for d, b in enumerate(bits)])
+
+    @jax.custom_vjp
+    def gather(vol_flat, *loc_dims):
+        # vol_flat: (V,); loc_dims: nd x (M,) -> (M,)
+        w0, w1, lin0 = _weights(loc_dims)
+        table = jnp.concatenate(
+            [jnp.roll(vol_flat, -off)[:, None] for off in offsets], axis=-1)
+        gathered = jnp.take(table, lin0, axis=0)  # (M, 2^N)
+        wts = jnp.stack([_corner_w(w0, w1, bits) for bits in corner_bits],
+                        axis=-1)
+        return jnp.sum(gathered * wts, axis=-1)
+
+    def fwd(vol_flat, *loc_dims):
+        return gather(vol_flat, *loc_dims), (vol_flat, loc_dims)
+
+    def bwd(res, g):
+        vol_flat, loc_dims = res
+        w0, w1, lin0 = _weights(loc_dims)
+        # clip passes gradient at the boundary value itself (lax.max/min
+        # tie convention), blocks it strictly beyond
+        mask = [((l >= 0) & (l <= m)).astype(g.dtype)
+                for l, m in zip(loc_dims, max_loc)]
+        acc_dtype = jnp.promote_types(vol_flat.dtype, g.dtype)
+        dvol = jnp.zeros(vol_flat.shape, acc_dtype)
+        dloc = [jnp.zeros_like(g) for _ in range(nd)]
+        for bits, off in zip(corner_bits, offsets):
+            rows = (lin0 + off) % V  # roll-equivalent wrap; wrapped corners
+            # carry identically-zero weights (see interpn notes)
+            w_c = _corner_w(w0, w1, bits)
+            dvol = dvol.at[rows].add((g * w_c).astype(acc_dtype))
+            gv = g * jnp.take(vol_flat, rows)
+            for d in range(nd):
+                others = [w1[dd] if bb else w0[dd]
+                          for dd, bb in enumerate(bits) if dd != d]
+                w_oth = (functools.reduce(jnp.multiply, others)
+                         if others else jnp.ones_like(g))
+                term = gv * w_oth
+                dloc[d] = dloc[d] + (term if bits[d] else -term)
+        dloc = [dl * mk for dl, mk in zip(dloc, mask)]
+        return (dvol.astype(vol_flat.dtype), *dloc)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def interpn(
     vol: jnp.ndarray,
     loc: jnp.ndarray,
@@ -128,6 +213,14 @@ def interpn(
             for l, m, s in zip(loc_dims, max_loc, strides)
         ])
         out = _gather_flat(vol_flat, lin)
+    elif interp_method == "linear" and nch == 1:
+        # the hot path (image warps at the canonical volume): corner-table
+        # single-gather forward + hand-written dense-layout VJP — autodiff
+        # of the generic path below builds a (M, 2^N)-shaped scatter zeros
+        # whose minor dim lane-pads 16x (14.1 GB at batch 4, full res)
+        core = _linear_gather_1ch(tuple(int(s) for s in spatial),
+                                  jnp.dtype(compute_dtype).name)
+        out = core(vol_flat[:, 0], *loc_dims)[:, None]
     elif interp_method == "linear":
         # Per-dim floor index and corner-1 weight; corner 0 gets (1 - w). At
         # the top edge the +1 neighbor would clip to the same voxel and its
