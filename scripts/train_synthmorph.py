@@ -47,6 +47,12 @@ def parse_args(argv=None):
                         'train with this > 0 first, then resume without it; '
                         'the dense supervision escapes the zero-flow attractor '
                         'that the boundary-local Dice gradient cannot.')
+    p.add_argument('--image-loss-weight', type=float, default=0.,
+                   help='weight of a windowed-NCC term between the warped '
+                        'source image and the target image. Only meaningful '
+                        'while --shared-contrast is high (same-modality '
+                        'pairs); anneal to 0 for the contrast-agnostic '
+                        'endgame. 0 = reference loss set (Dice+Grad).')
     p.add_argument('--shared-contrast', type=float, default=0.,
                    help='probability that both images of a pair share one '
                         'per-label GMM intensity draw. Sharing contrasts '
@@ -137,6 +143,20 @@ def main(argv=None):
         LossTerm('pos_flow', grad.loss, weight=1.0,
                  target_output_key='pos_flow', name='grad'),
     ]
+    if arg.image_loss_weight > 0:
+        # Curriculum term beyond the reference loss set (Dice+Grad only,
+        # ref scripts/tf/train_synthmorph.py:156-158): with --shared-contrast
+        # near 1 and the bias/gamma nuisance off, the two synthesized images
+        # are the SAME modality, so windowed NCC between the warped source
+        # image (y_source) and the target image is a dense, informative
+        # registration gradient from step one — the boundary-thin Dice
+        # gradient alone needs ~100k batch-1 steps to escape zero flow.
+        # Anneal to 0 in the final phase to recover the contrast-agnostic
+        # SynthMorph objective.
+        ncc = vxm.losses.NCC()
+        terms.append(LossTerm('y_source', ncc.loss,
+                              weight=arg.image_loss_weight,
+                              target_output_key='image_2', name='ncc'))
     if arg.sup_flow_weight > 0:
         if not arg.same_subj:
             raise SystemExit('--sup-flow-weight requires --same-subj: the '

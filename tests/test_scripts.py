@@ -210,6 +210,31 @@ def test_train_synthmorph(data, tmp_path):
     assert os.path.isfile(str(tmp_path / "m" / "00001.npz"))
 
 
+def test_train_synthmorph_curriculum_terms(data, tmp_path):
+    # bootstrap/curriculum phase: supervised flow + shared contrast + NCC
+    # image term on top of the reference Dice+Grad loss set
+    import train_synthmorph as script
+    lab_dir = tmp_path / "labels"
+    lab_dir.mkdir()
+    for i in range(2):
+        np.save(str(lab_dir / f"map{i}.npy"),
+                RNG.integers(0, 3, size=SHAPE).astype(np.int32))
+    script.main([
+        "--label-dir", str(lab_dir),
+        "--model-dir", str(tmp_path / "m"),
+        "--out-labels", "nonexistent.npy",
+        "--vel-res", "4",
+        "--bias-res", "4",
+        "--int-steps", "2",
+        "--enc", "4", "8", "--dec", "8", "4", "4",
+        "--same-subj", "--sup-flow-weight", "0.5",
+        "--shared-contrast", "1.0", "--image-loss-weight", "1.0",
+        "--bias-std", "0", "--gamma", "0",
+        "--epochs", "1", "--steps-per-epoch", "2",
+    ])
+    assert os.path.isfile(str(tmp_path / "m" / "00001.npz"))
+
+
 def test_train_and_test_unsupervised_seg(data, tmp_path):
     import train_unsupervised_seg as train_script
     import test_unsupervised_seg as test_script
