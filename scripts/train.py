@@ -42,6 +42,9 @@ def parse_args(argv=None):
     parser.add_argument('--initial-epoch', type=int, default=0,
                         help='epoch to start counting from, e.g. when resuming (default: 0)')
     parser.add_argument('--lr', type=float, default=1e-4, help='Adam learning rate (default: 1e-4)')
+    parser.add_argument('--clip-grad', type=float,
+                        help='optional global-norm gradient clip (stabilizes '
+                             'learning rates above the reference default)')
     parser.add_argument('--spatial-shard', action='store_true',
                         help='also shard the first spatial axis across the mesh space axis')
     parser.add_argument('--steps-per-dispatch', type=int, default=None,
@@ -174,7 +177,7 @@ def main(argv=None):
                               weight=args.lambda_weight, target_index=reg_target, name='grad'))
 
     trainer = Trainer(model, terms, lr=args.lr, needs_sample_rng=args.use_probs,
-                      spatial_shard=args.spatial_shard)
+                      spatial_shard=args.spatial_shard, clip_norm=args.clip_grad)
 
     from voxelmorph_tpu.training import init_or_resume
     args.initial_epoch = init_or_resume(trainer, args.load_weights, args.model_dir,
