@@ -28,7 +28,7 @@ def parse_args(argv=None):
     p.add_argument("--model", required=True, help="trained checkpoint (.npz)")
     p.add_argument("--pairs", default="data_gen/test_pairs.txt")
     p.add_argument("--labels", default="/root/reference/data/labels.npz")
-    p.add_argument("--out", default="QUALITY_r02.json")
+    p.add_argument("--out", default="QUALITY.json")
     p.add_argument("--hyper", type=float, default=0.5,
                    help="hyperparameter for HyperMorph models (HyperVxmDense/"
                         "HyperVxmJoint; ignored by others)")
