@@ -78,6 +78,8 @@ def parse_args(argv=None):
                         help='U-Net compute dtype; bfloat16 doubles MXU throughput '
                              '(params/losses/flow integration stay float32)')
     parser.add_argument('--use-probs', action='store_true', help='use the probabilistic (MICCAI-2018) flow head')
+    parser.add_argument('--save-freq', type=int, default=20,
+                        help='checkpoint every N epochs (default: 20)')
     parser.add_argument('--bidir', action='store_true', help='train with symmetric (forward + inverse) image losses')
 
     # loss hyperparameters
@@ -196,7 +198,7 @@ def main(argv=None):
             batch_size=args.batch_size, bidir=args.bidir, atlas=atlas,
             start_step=args.initial_epoch * args.steps_per_epoch + 1,
             initial_epoch=args.initial_epoch, model_dir=args.model_dir,
-            save_freq_epochs=20)
+            save_freq_epochs=args.save_freq)
         return
 
     if args.cache_device and args.initial_epoch:
@@ -215,7 +217,7 @@ def main(argv=None):
                 steps_per_epoch=args.steps_per_epoch,
                 initial_epoch=args.initial_epoch,
                 model_dir=args.model_dir,
-                save_freq_epochs=20)
+                save_freq_epochs=args.save_freq)
 
 
 if __name__ == '__main__':
