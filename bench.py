@@ -369,10 +369,12 @@ if __name__ == "__main__":
 
     # Stage 3 — train-step throughput. Each config is a multi-minute cold
     # XLA compile (what sank BENCH_r02), so each is gated on remaining
-    # wall-clock. bs1-f32 is the reference's default config; bs4-bf16 is the
-    # deployable TPU config.
+    # wall-clock. bs1-f32 is the reference's default config; bs2-bf16 is the
+    # largest full-res batch that fits one 16 GB chip (AOT-verified via
+    # scripts/memory_probe.py after the mask-backward max-pool change; bs4
+    # demands ~34 GB).
     best_train = 0.0
-    for dtype_name, bs, min_s in (("float32", 1, 300), ("bfloat16", 4, 240)):
+    for dtype_name, bs, min_s in (("float32", 1, 300), ("bfloat16", 2, 240)):
         key = f"train_step_s_bs{bs}_{'bf16' if dtype_name == 'bfloat16' else 'f32'}"
         if _remaining() < min_s:
             detail[key] = f"skipped: {_remaining():.0f}s left < {min_s}s gate"

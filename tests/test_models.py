@@ -33,6 +33,26 @@ def test_unet_default_output_channels():
     assert out.shape == (1, 16, 16, 16)  # final decoder feature = 16
 
 
+@pytest.mark.parametrize("shape,window", [((2, 8, 8, 8, 3), 2),
+                                          ((1, 7, 6, 5, 2), 2),
+                                          ((2, 9, 9, 4), 3)])
+def test_max_pool_custom_vjp_matches_autodiff(shape, window):
+    """The mask-backward max pool (no select-and-scatter lowering) must match
+    nn.max_pool and its autodiff gradient on tie-free inputs, including
+    non-divisible (VALID-truncated) spatial dims."""
+    import flax.linen as nn
+    from voxelmorph_tpu.models.unet import _max_pool
+
+    nd = len(shape) - 2
+    x = jnp.asarray(np.random.default_rng(0).normal(size=shape).astype(np.float32))
+    w = (window,) * nd
+    f_ref = lambda x: jnp.sum(jnp.sin(nn.max_pool(x, window_shape=w, strides=w)) * 1.7)
+    f_new = lambda x: jnp.sum(jnp.sin(_max_pool(x, window, nd)) * 1.7)
+    np.testing.assert_allclose(f_ref(x), f_new(x), rtol=1e-6)
+    np.testing.assert_allclose(jax.grad(f_ref)(x), jax.grad(f_new)(x),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_unet_upsample_skips_halves_resolution():
     model = Unet(ndims=2, nb_upsample_skips=1)
     x = jnp.zeros((1, 16, 16, 2))

@@ -18,6 +18,7 @@ TPU-first mechanics:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -150,6 +151,50 @@ def _upsample_nearest(x, factor: int, ndims: int):
     return x
 
 
+def _pool_fwd_impl(x, window: int, ndims: int):
+    w = (window,) * ndims
+    return nn.max_pool(x, window_shape=w, strides=w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool(x, window: int, ndims: int):
+    """Non-overlapping max pool with a mask-based backward.
+
+    The forward is the plain reduce-window max. The custom backward replaces
+    XLA's select-and-scatter gradient — whose TPU lowering materializes
+    channel-minor ((2,128)-tiled, C=16 on lanes → 8x pad) layout copies of
+    the full-res activation, the dominant allocations in the bs>=2 full-res
+    train-step OOM dumps — with repeat + compare + where: elementwise ops
+    that fuse into neighbors and add no layout-converted temps. Tie
+    semantics differ benignly: ties receive the gradient at every tied
+    element instead of the first (ties are measure-zero for conv outputs).
+    """
+    return _pool_fwd_impl(x, window, ndims)
+
+
+def _max_pool_fwd(x, window: int, ndims: int):
+    out = _pool_fwd_impl(x, window, ndims)
+    return out, (x, out)
+
+
+def _max_pool_bwd(window: int, ndims: int, res, g):
+    x, out = res
+    up, gu = out, g
+    for d in range(ndims):
+        up = jnp.repeat(up, window, axis=d + 1)
+        gu = jnp.repeat(gu, window, axis=d + 1)
+    # VALID pooling truncates non-divisible edges: zero gradient there.
+    if up.shape != x.shape:
+        pads = [(0, 0)] + [(0, x.shape[d + 1] - up.shape[d + 1])
+                           for d in range(ndims)] + [(0, 0)]
+        up = jnp.pad(up, pads, constant_values=-jnp.inf)
+        gu = jnp.pad(gu, pads)
+    return (jnp.where(x == up, gu, jnp.zeros_like(gu)),)
+
+
+_max_pool.defvjp(_max_pool_fwd, _max_pool_bwd)
+
+
 class Unet(nn.Module):
     """N-D encoder-decoder with skip connections.
 
@@ -206,8 +251,7 @@ class Unet(nn.Module):
                 nf = enc_nf[level * self.nb_conv_per_level + conv]
                 last = conv_block(last, nf, f"enc_conv_{level}_{conv}")
             enc_layers.append(last)
-            w = (max_pool[level],) * self.ndims
-            last = nn.max_pool(last, window_shape=w, strides=w)
+            last = _max_pool(last, max_pool[level], self.ndims)
 
         if self.final_activation_function is not None and len(final_convs) == 0:
             activate = lambda lvl, c: not (
