@@ -5,8 +5,9 @@ Reproduces the reference's evaluation semantics (scripts/tf/test.py timing:
 warp prediction timed, compile excluded) on the canonical 160x192x224 volume
 with the default VxmDense (int_steps=7, int_downsize=2), and additionally:
 
-  * a batch-size x dtype sweep (bs in {1,2,4,8}, f32/bf16) — batch-size-1 is
-    the reference's default but underutilizes the TPU (SURVEY §7);
+  * a batch-size x dtype sweep (bs in {1,2,4}, bf16 headline, f32 if time
+    remains) — batch-size-1 is the reference's default but underutilizes the
+    TPU (SURVEY §7); bs8 is skipped: deterministic, diagnosed XLA OOM;
   * an A/B of the scaling-and-squaring warp paths at integration resolution:
     XLA corner-table gather vs Pallas bounded-displacement kernel;
   * full train-step throughput (fwd+bwd+Adam) at full resolution.
@@ -159,12 +160,27 @@ def _timed_chain(fn, *args, iters=8, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def measure_inference(batch_sizes=(1, 2, 4, 8), dtypes=("bfloat16", "float32"),
+def _timed_chain_stats(fn, *args, iters=8, warmup=2, repeats=3):
+    """Repeat _timed_chain and return (mean, min, std) across repeats.
+
+    Round-3 lesson: single-chain means swung 1.6x between driver and trial
+    runs on the tunneled device; min-of-N plus a std bar makes a kernel
+    regression distinguishable from scheduling noise."""
+    samples = [_timed_chain(fn, *args, iters=iters, warmup=warmup if i == 0 else 0)
+               for i in range(repeats)]
+    return (float(np.mean(samples)), float(np.min(samples)),
+            float(np.std(samples)))
+
+
+def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
                       iters=8, warmup=2):
     """Registration forward throughput sweep. Updates RESULT in place.
 
-    bf16 runs first: it holds the headline (BENCH_r01 best was bs4-bf16), so
-    a deadline hit mid-sweep still lands the number that matters.
+    bf16 holds the headline (best has been bs4-bf16 every round). bs8 is NOT
+    attempted: its failure is diagnosed and deterministic (XLA OOM, 39.38 GB
+    vs 15.75 GB HBM — BENCH_r03, README), and the two doomed multi-minute
+    compiles starved the train stage out of rounds 2 and 3. The f32 sweep is
+    a separate call, gated on remaining wall-clock after the train stage.
     """
     import jax
     import jax.numpy as jnp
@@ -293,8 +309,11 @@ def measure_vecint_ab(iters=10, warmup=2):
             return jnp.sum(r[0, ::32, ::32, ::32]).astype(jnp.float32)
 
         try:
-            out["vecint_adaptive_pallas_ms"] = round(
-                _timed_chain(integ_pallas, vec, iters=iters, warmup=warmup) * 1e3, 3)
+            m, mn, sd = _timed_chain_stats(integ_pallas, vec,
+                                           iters=iters, warmup=warmup)
+            out["vecint_adaptive_pallas_ms"] = round(m * 1e3, 3)
+            out["vecint_adaptive_pallas_ms_min"] = round(mn * 1e3, 3)
+            out["vecint_adaptive_pallas_ms_std"] = round(sd * 1e3, 3)
         except Exception as e:
             out["vecint_adaptive_pallas_ms"] = _short_err(e)
 
@@ -311,12 +330,18 @@ def measure_vecint_ab(iters=10, warmup=2):
             return jnp.sum(r[::32, ::32, ::32]).astype(jnp.float32)
 
         try:
-            out["selfwarp_pallas_ms"] = round(
-                _timed_chain(warp_pallas_once, vec, iters=iters, warmup=warmup) * 1e3, 3)
+            m, mn, sd = _timed_chain_stats(warp_pallas_once, vec,
+                                           iters=iters, warmup=warmup)
+            out["selfwarp_pallas_ms"] = round(m * 1e3, 3)
+            out["selfwarp_pallas_ms_min"] = round(mn * 1e3, 3)
+            out["selfwarp_pallas_ms_std"] = round(sd * 1e3, 3)
         except Exception as e:
             out["selfwarp_pallas_ms"] = _short_err(e)
-        out["selfwarp_gather_ms"] = round(
-            _timed_chain(warp_gather_once, vec, iters=iters, warmup=warmup) * 1e3, 3)
+        m, mn, sd = _timed_chain_stats(warp_gather_once, vec,
+                                       iters=iters, warmup=warmup)
+        out["selfwarp_gather_ms"] = round(m * 1e3, 3)
+        out["selfwarp_gather_ms_min"] = round(mn * 1e3, 3)
+        out["selfwarp_gather_ms_std"] = round(sd * 1e3, 3)
 
         # roofline estimates for the measured self-warp (halo=1, 3 channels):
         # pallas traffic = read vol+shift once, write once; flops = (2h+2)^3
@@ -325,13 +350,15 @@ def measure_vecint_ab(iters=10, warmup=2):
         voxels = float(np.prod(shape))
         nch = 3.0
         if isinstance(out.get("selfwarp_pallas_ms"), float):
-            t = out["selfwarp_pallas_ms"] / 1e3
+            # roofline uses min-of-N: the best observation is the kernel's
+            # demonstrated capability; the mean folds in tunnel noise
+            t = out.get("selfwarp_pallas_ms_min", out["selfwarp_pallas_ms"]) / 1e3
             flops = voxels * nch * (3 ** 3) * 3 + voxels * 3 * 4  # taps + d_eff
             traffic = voxels * 4 * (nch * 2 + 3)  # vol in+out, 3 shift fields
             out["selfwarp_pallas_gflops"] = round(flops / t / 1e9, 1)
             out["selfwarp_pallas_gbps"] = round(traffic / t / 1e9, 1)
         if isinstance(out.get("selfwarp_gather_ms"), float):
-            t = out["selfwarp_gather_ms"] / 1e3
+            t = out.get("selfwarp_gather_ms_min", out["selfwarp_gather_ms"]) / 1e3
             # corner table: write 8x vol, then gather-read 8-wide rows + out
             traffic = voxels * 4 * nch * (1 + 8 + 8 + 8 + 1)
             out["selfwarp_gather_gbps_est"] = round(traffic / t / 1e9, 1)
@@ -354,27 +381,23 @@ if __name__ == "__main__":
     _enable_compile_cache()
 
     detail = RESULT["detail"]
+    detail["infer_bs8"] = ("skipped: diagnosed deterministic XLA OOM "
+                           "(39.38G vs 15.75G hbm, BENCH_r03)")
 
-    # Stage 1 — headline: inference sweep (bf16 first).
+    # Stage 1 — headline: bf16 inference sweep (bs 1/2/4; no doomed bs8).
     try:
         measure_inference()
     except Exception as e:
         detail["inference_sweep"] = _short_err(e)
 
-    # Stage 2 — kernel A/B at integration resolution (small, fast compiles).
-    try:
-        measure_vecint_ab()
-    except Exception as e:
-        detail["vecint_ab"] = _short_err(e)
-
-    # Stage 3 — train-step throughput. Each config is a multi-minute cold
-    # XLA compile (what sank BENCH_r02), so each is gated on remaining
-    # wall-clock. bs1-f32 is the reference's default config; bs2-bf16 is the
-    # largest full-res batch that fits one 16 GB chip (AOT-verified via
-    # scripts/memory_probe.py after the mask-backward max-pool change; bs4
-    # demands ~34 GB).
+    # Stage 2 — train-step throughput. Moved AHEAD of the kernel A/B and the
+    # f32 sweep: rounds 2 and 3 both ended with no training number on the
+    # record because this stage ran last. bs2-bf16 first — the config the
+    # mask-backward max-pool was built to enable — then the reference's
+    # default bs1-f32. Each config is a multi-minute cold XLA compile, so
+    # each is gated on remaining wall-clock.
     best_train = 0.0
-    for dtype_name, bs, min_s in (("float32", 1, 300), ("bfloat16", 2, 240)):
+    for dtype_name, bs, min_s in (("bfloat16", 2, 180), ("float32", 1, 240)):
         key = f"train_step_s_bs{bs}_{'bf16' if dtype_name == 'bfloat16' else 'f32'}"
         if _remaining() < min_s:
             detail[key] = f"skipped: {_remaining():.0f}s left < {min_s}s gate"
@@ -389,5 +412,24 @@ if __name__ == "__main__":
             detail["train_pairs_per_s"] = round(best_train, 4)
         except Exception as e:
             detail[key] = _short_err(e)
+
+    # Stage 3 — kernel A/B at integration resolution (small, fast compiles;
+    # min-of-N stats so regressions are distinguishable from tunnel noise).
+    if _remaining() > 90:
+        try:
+            measure_vecint_ab()
+        except Exception as e:
+            detail["vecint_ab"] = _short_err(e)
+    else:
+        detail["vecint_ab"] = f"skipped: {_remaining():.0f}s left"
+
+    # Stage 4 — f32 inference sweep (informational; bf16 owns the headline).
+    if _remaining() > 180:
+        try:
+            measure_inference(dtypes=("float32",))
+        except Exception as e:
+            detail["inference_sweep_f32"] = _short_err(e)
+    else:
+        detail["inference_sweep_f32"] = f"skipped: {_remaining():.0f}s left"
 
     _emit()

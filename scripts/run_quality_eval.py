@@ -117,6 +117,7 @@ def main(argv=None):
         "pairs_per_s": (
             round(1.0 / float(np.mean(reg_times)), 4) if reg_times else None),
         "per_pair_dice": [round(d, 4) for d in dice_reg],
+        "per_pair_dice_identity": [round(d, 4) for d in dice_id],
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

@@ -53,6 +53,27 @@ def test_max_pool_custom_vjp_matches_autodiff(shape, window):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_max_pool_vjp_splits_gradient_across_ties():
+    """Tied maxima (constant windows — uniform image backgrounds, frequent
+    under bfloat16) must SPLIT the window's gradient 1/count each, not
+    duplicate it: sum of routed gradient per window == incoming gradient
+    (the conservation property select-and-scatter also satisfies)."""
+    from voxelmorph_tpu.models.unet import _max_pool
+
+    # fully constant input: every element of every 2x2x2 window ties
+    x = jnp.ones((1, 4, 4, 4, 2), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(_max_pool(x, 2, 3)))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0 / 8.0, rtol=1e-6)
+    # mixed case: one window with a strict max, one fully tied; per-window
+    # gradient mass must be exactly 1 in both
+    x2 = np.zeros((1, 4, 2), np.float32)
+    x2[0, 1, 0] = 5.0  # strict max in first window of channel 0
+    g2 = np.asarray(jax.grad(lambda x: jnp.sum(_max_pool(x, 2, 1)))(
+        jnp.asarray(x2)))
+    np.testing.assert_allclose(g2[0, :2, 0], [0.0, 1.0])
+    np.testing.assert_allclose(g2[0, 2:, 0], [0.5, 0.5])
+
+
 def test_unet_upsample_skips_halves_resolution():
     model = Unet(ndims=2, nb_upsample_skips=1)
     x = jnp.zeros((1, 16, 16, 2))

@@ -165,9 +165,11 @@ def _max_pool(x, window: int, ndims: int):
     channel-minor ((2,128)-tiled, C=16 on lanes → 8x pad) layout copies of
     the full-res activation, the dominant allocations in the bs>=2 full-res
     train-step OOM dumps — with repeat + compare + where: elementwise ops
-    that fuse into neighbors and add no layout-converted temps. Tie
-    semantics differ benignly: ties receive the gradient at every tied
-    element instead of the first (ties are measure-zero for conv outputs).
+    that fuse into neighbors and add no layout-converted temps. Tied maxima
+    split the window's gradient equally (1/count each), so the routed
+    gradient sums to g per window even on spatially constant activations
+    (uniform image backgrounds), where ties are the norm — and more frequent
+    still under bfloat16.
     """
     return _pool_fwd_impl(x, window, ndims)
 
@@ -189,7 +191,20 @@ def _max_pool_bwd(window: int, ndims: int, res, g):
                            for d in range(ndims)] + [(0, 0)]
         up = jnp.pad(up, pads, constant_values=-jnp.inf)
         gu = jnp.pad(gu, pads)
-    return (jnp.where(x == up, gu, jnp.zeros_like(gu)),)
+    mask = x == up
+    # per-window tie count: each tied element gets an equal 1/count share so
+    # the gradient is routed, not duplicated (window-sum of the output == g)
+    w = (1,) + (window,) * ndims + (1,)
+    count = jax.lax.reduce_window(mask.astype(gu.dtype),
+                                  jnp.zeros((), gu.dtype), jax.lax.add,
+                                  w, w, "VALID")
+    for d in range(ndims):
+        count = jnp.repeat(count, window, axis=d + 1)
+    if count.shape != x.shape:
+        cpads = [(0, 0)] + [(0, x.shape[d + 1] - count.shape[d + 1])
+                            for d in range(ndims)] + [(0, 0)]
+        count = jnp.pad(count, cpads, constant_values=1)
+    return (jnp.where(mask, gu / count, jnp.zeros_like(gu)),)
 
 
 _max_pool.defvjp(_max_pool_fwd, _max_pool_bwd)
