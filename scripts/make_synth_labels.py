@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--warp-res", type=float, default=16.0,
                    help="SVF spatial scale for --augment variants")
     p.add_argument("--seed", type=int, default=2027)
+    p.add_argument("--scale", type=int, default=2, choices=[1, 2],
+                   help="downsampling factor from the data_gen resolution; "
+                        "1 writes the canonical full-resolution population "
+                        "(160x192x224) for full-res SynthMorph training")
     return p.parse_args(argv)
 
 
@@ -65,19 +69,24 @@ def main(argv=None):
                               interp_method="nearest")[..., 0]
             return out.astype(jnp.int32)
 
+    k = args.scale
+
+    def pool_mean(vol):
+        if k == 1:
+            return vol
+        return vol.reshape(vol.shape[0] // k, k, vol.shape[1] // k, k,
+                           vol.shape[2] // k, k).mean(axis=(1, 3, 5))
+
     n_aug = 0
     train_vols = []
     for path in sorted(glob.glob(os.path.join(args.src, "train_*.npz"))):
         data = np.load(path)
-        seg = data["seg"][::2, ::2, ::2].astype(np.int32)
+        seg = data["seg"][::k, ::k, ::k].astype(np.int32)
         stem = os.path.basename(path).split("_")[1].split(".")[0]
         np.savez(os.path.join(args.out, f"lab_{stem}"), vol=seg)
-        # half-res vol+seg training volumes (2x2x2 mean / nearest), for
-        # trainers that run at reduced resolution (e.g. the HyperMorph
-        # lambda-sweep model)
-        vol = data["vol"].astype(np.float32)
-        vol = vol.reshape(vol.shape[0] // 2, 2, vol.shape[1] // 2, 2,
-                          vol.shape[2] // 2, 2).mean(axis=(1, 3, 5))
+        # vol+seg training volumes (kxkxk mean / nearest), for trainers
+        # that run at this resolution (e.g. the HyperMorph lambda sweep)
+        vol = pool_mean(data["vol"].astype(np.float32))
         tr_path = os.path.abspath(
             os.path.join(args.out, f"train_{stem}.npz"))
         np.savez(tr_path, vol=vol, seg=seg)
@@ -98,11 +107,10 @@ def main(argv=None):
     tests = []
     for path in sorted(glob.glob(os.path.join(args.src, "test_*.npz"))):
         data = np.load(path)
-        vol = data["vol"].astype(np.float32)
-        # 2x2x2 mean pooling (shapes are even at 160x192x224)
-        vol = vol.reshape(vol.shape[0] // 2, 2, vol.shape[1] // 2, 2,
-                          vol.shape[2] // 2, 2).mean(axis=(1, 3, 5))
-        seg = data["seg"][::2, ::2, ::2].astype(np.int32)
+        # kxkxk mean pooling (shapes are even at 160x192x224); k=1 keeps
+        # the canonical resolution (eval pairs then match data_gen's)
+        vol = pool_mean(data["vol"].astype(np.float32))
+        seg = data["seg"][::k, ::k, ::k].astype(np.int32)
         out_path = os.path.abspath(
             os.path.join(args.out, os.path.basename(path)))
         np.savez(out_path, vol=vol, seg=seg)

@@ -56,25 +56,31 @@ def main():
     @jax.jit
     def build_wins(vol_cf, shift):
         vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
-        s_p = jnp.stack([jnp.pad(shift[..., a], pads3) for a in range(3)], 0)
-        return P._window_stack(jnp.concatenate([vol_p, s_p], 0), tz, p, grid)
+        wins = P._window_stack(vol_p, tz, p, grid)
+        s_c = jnp.stack([jnp.pad(shift[..., a],
+                                 [(0, d_pad - D), (0, 0), (0, wpad)])
+                         for a in range(3)], 0)
+        return wins, s_c
 
-    wins = jax.block_until_ready(build_wins(vol_cf, shift))
+    wins, s_c = jax.block_until_ready(build_wins(vol_cf, shift))
 
     import jax.experimental.pallas as pl
     kernel = functools.partial(P._warp_kernel, h, tz, (D, H, W), nch, ww)
 
     @jax.jit
-    def call_only(wins):
+    def call_only(wins, s_c):
         return pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[pl.BlockSpec((1, nch + 3, tz + 2 * p, H + 2 * p, ww + 2 * p),
-                                   lambda i: (i, 0, 0, 0, 0))],
+            in_specs=[
+                pl.BlockSpec((1, nch, tz + 2 * p, H + 2 * p, ww + 2 * p),
+                             lambda i: (i, 0, 0, 0, 0)),
+                pl.BlockSpec((3, tz, H, ww), lambda i: (0, i, 0, 0)),
+            ],
             out_specs=pl.BlockSpec((nch, tz, H, ww), lambda i: (0, i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((nch, d_pad, H, ww), jnp.float32),
             interpret=P._INTERPRET,
-        )(wins)
+        )(wins, s_c)
 
     @jax.jit
     def full(vol, shift):
@@ -97,7 +103,7 @@ def main():
     res = {
         "halo": h, "shape": [D, H, W], "tz": tz, "ww": ww,
         "build_wins_ms": round(timeit(build_wins, vol_cf, shift), 3),
-        "kernel_only_ms": round(timeit(call_only, wins), 3),
+        "kernel_only_ms": round(timeit(call_only, wins, s_c), 3),
         "full_ms": round(timeit(full, vol, shift), 3),
         "xla_windowed_ms": round(timeit(xla_windowed, vol, shift), 3),
     }

@@ -24,21 +24,26 @@ slab into VMEM ONCE and accumulates all (2h+1)^3 terms on the VPU, so HBM
 traffic is ~(read vol + read shift + write out) regardless of h, and the
 backward pass is the same single-pass structure (no scatters).
 
-Kernel layout (v2, measured ~30x the v1 Element-spec design)
-------------------------------------------------------------
-The volume is processed in z-slabs. All operands of a slab — the volume
-channels plus the three displacement components (plus the cotangent in the
-backward) — are PACKED into one channel axis and pre-windowed host-side into
-a (grid, C_packed, TZ + 2p, H + 2p, W + 2p) array of overlapping windows, so
-every pallas input/output uses plain BLOCK-indexed specs. That matters on
-TPU: element-offset specs (the v1 design: `pl.Element` windows sharing their
-halo in HBM) disable Mosaic's pipelined double-buffered DMA, serializing
-every window fetch behind the compute; block specs restore the pipeline, and
-the window materialization costs only an extra (tz+2p)/tz ~ 1.2-1.5x
-sequential read that XLA fuses into one pass. Triangle weights are computed
-ONCE per tap offset and applied to every channel (v1 recomputed them per
-channel). ALL tap offsets are statically unrolled into vector shifts —
-dynamic-start slices inside a fori_loop measured ~100x slower on Mosaic.
+Kernel layout (v4; v2 measured ~30x the v1 Element-spec design)
+---------------------------------------------------------------
+The volume is processed in z-slabs. Operands that are read at halo offsets
+are pre-windowed host-side into a (grid, C, TZ + 2p, H + 2p, W + 2p) array
+of overlapping windows, so every pallas input/output uses plain
+BLOCK-indexed specs. That matters on TPU: element-offset specs (the v1
+design: `pl.Element` windows sharing their halo in HBM) disable Mosaic's
+pipelined double-buffered DMA, serializing every window fetch behind the
+compute; block specs restore the pipeline, and the window materialization
+costs only an extra (tz+2p)/tz ~ 1.2-1.5x sequential read that XLA fuses
+into one pass. v4: only operands actually read at offsets are windowed —
+the forward windows just the volume channels, while the three displacement
+components ride an ordinary unwindowed center block (halving the forward's
+window VMEM + DMA and roughly doubling the admissible slab size tz, which
+cuts the grid-step count and the window read amplification). The backward
+still windows vol+g+shift (all are read at flipped offsets). Triangle
+weights are computed ONCE per tap offset and applied to every channel (v1
+recomputed them per channel). The y/x tap offsets are statically unrolled
+into vector shifts — dynamic-start slices inside a fori_loop measured ~100x
+slower on Mosaic.
 
 Edge semantics match ops.interp.interpn: sampling coordinates are clamped to
 [0, dim-1] (the pre-pad is edge-replicated so clamped taps read edge values).
@@ -94,6 +99,16 @@ def _footprint(spatial, nch: int, halo: int, tz: int, mode: str) -> int:
     (2h+1)^2 y/x tap terms with their weight intermediates (the z taps are
     sequential by construction; the backward holds two tap groups per
     plane — dvol and dshift — hence the 3x coefficient).
+
+    v4: the forward windows ONLY the volume channels; the shift components
+    ride an unwindowed center block (they are never read at a halo offset),
+    so win_ch drops from nch+3 to nch and the 3 shift channels move to the
+    center-block term. live_n for the forward is calibrated down to the
+    measured liveness of the fori-carry accumulate chain (Mosaic retires
+    each unrolled y/x tap's product into the carry; the old 2*(2h+1)^2
+    charge modeled every tap staying live, which forced tz=2 at the
+    canonical half-res shape and made per-grid-step overhead dominate —
+    40 steps of 2 z-planes with a 2x window read amplification).
     """
     _, H, W = (int(s) for s in spatial)
     p = int(halo)
@@ -102,19 +117,26 @@ def _footprint(spatial, nch: int, halo: int, tz: int, mode: str) -> int:
     hw = H * W * 4
     win_z = tz + 2 * p
     if mode == "fwd":
-        win_ch, out_ch = nch + 3, nch
-        live_n = 2 * n_off ** 2 + nch + 10
-    else:
-        win_ch, out_ch = 2 * nch + 3, nch + 3
-        live_n = 3 * n_off ** 2 + 2 * nch + 16
+        # double-buffered: vol window + center shift block + center out block
+        live_n = n_off + nch + 8
+        return (2 * (nch * win_z * hwp + (nch + 3) * tz * hw)
+                + live_n * tz * hw)
+    win_ch, out_ch = 2 * nch + 3, nch + 3
+    live_n = 3 * n_off ** 2 + 2 * nch + 16
     return (2 * (win_ch * win_z * hwp + out_ch * tz * hw)
             + live_n * tz * hw)
 
 
 def _pick_tz(spatial, nch: int, halo: int, mode: str):
     """Largest z-slab size whose modeled footprint fits the VMEM budget,
-    or None if even tz=1 does not fit (caller must fall back to XLA)."""
+    or None if even tz=1 does not fit (caller must fall back to XLA).
+
+    VXM_PALLAS_TZ_FWD / VXM_PALLAS_TZ_BWD force a slab size (A/B lab use)."""
     d = int(spatial[0])
+    env = os.environ.get(f"VXM_PALLAS_TZ_{mode.upper()}")
+    if env:
+        tz = int(env)
+        return min(tz, d) if tz > 0 else None
     for tz in (16, 8, 4, 2, 1):
         if tz > d:
             continue
@@ -162,12 +184,14 @@ def _lane_pad(w_center: int, p: int) -> int:
     return (-(w_center + 2 * p)) % 128
 
 
-def _warp_kernel(h, tz, spatial, nch, ww, win_ref, out_ref):
+def _warp_kernel(h, tz, spatial, nch, ww, win_ref, shift_ref, out_ref):
     """One z-slab: accumulate the (2h+1)^3 shifted-slice terms in VMEM.
 
-    win_ref: (1, nch+3, TZ+2p, H+2p, WW+2p) packed window — channels
-             [0, nch) the edge-padded volume, [nch, nch+3) the zero-padded
-             displacement components; WW = W + lane pad.
+    win_ref: (1, nch, TZ+2p, H+2p, WW+2p) edge-padded volume window;
+             WW = W + lane pad.
+    shift_ref: (3, TZ, H, WW) displacement components, an UNWINDOWED center
+             block at (0, i*TZ, 0, 0) — the shifts are only ever read at the
+             window center, so windowing them (v3) wasted VMEM and DMA.
     out_ref: (nch, TZ, H, WW), block-placed at (0, i*TZ, 0, 0) of the
              (nch, D_pad, H, WW) result — no epilogue transpose.
     """
@@ -182,13 +206,12 @@ def _warp_kernel(h, tz, spatial, nch, ww, win_ref, out_ref):
     # |d_eff| <= h everywhere given the caller's |shift| <= h guard
     fiota = lambda d: jax.lax.broadcasted_iota(
         jnp.int32, (tz, H, ww), d).astype(jnp.float32)
-    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + H, p:p + ww]
     z_base = (i * tz).astype(jnp.float32) + fiota(0)
-    dz = jnp.clip(z_base + ctr(nch), 0.0, D - 1.0) - z_base
+    dz = jnp.clip(z_base + shift_ref[0], 0.0, D - 1.0) - z_base
     y_base = fiota(1)
-    dy = jnp.clip(y_base + ctr(nch + 1), 0.0, H - 1.0) - y_base
+    dy = jnp.clip(y_base + shift_ref[1], 0.0, H - 1.0) - y_base
     x_base = fiota(2)
-    dx = jnp.clip(x_base + ctr(nch + 2), 0.0, W - 1.0) - x_base
+    dx = jnp.clip(x_base + shift_ref[2], 0.0, W - 1.0) - x_base
 
     # The y/x offsets are statically unrolled into vector shifts (dynamic
     # lane/sublane-start slices measured ~100x slower on Mosaic), but the z
@@ -234,20 +257,26 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
 
     pads3 = [(p, p + (d_pad - D)), (p, p), (p, p + wpad)]
     vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
-    s_p = jnp.stack([jnp.pad(s, pads3) for s in (sz, sy, sx)], 0)
-    wins = _window_stack(jnp.concatenate([vol_p, s_p], 0), tz, p, grid)
+    wins = _window_stack(vol_p, tz, p, grid)
+    # shifts ride an unwindowed center block: zero-pad to the padded grid
+    # only (no halo) — clamped coordinates keep the pad region in range
+    s_c = jnp.stack([jnp.pad(s, [(0, d_pad - D), (0, 0), (0, wpad)])
+                     for s in (sz, sy, sx)], 0)
 
     kernel = functools.partial(_warp_kernel, h, tz, (D, H, W), nch, ww)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((1, nch + 3, tz + 2 * p, H + 2 * p, ww + 2 * p),
-                               lambda i: (i, 0, 0, 0, 0))],
+        in_specs=[
+            pl.BlockSpec((1, nch, tz + 2 * p, H + 2 * p, ww + 2 * p),
+                         lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((3, tz, H, ww), lambda i: (0, i, 0, 0)),
+        ],
         out_specs=pl.BlockSpec((nch, tz, H, ww),
                                lambda i: (0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nch, d_pad, H, ww), jnp.float32),
         interpret=_INTERPRET,
-    )(wins)
+    )(wins, s_c)
     return out[:, :D, :, :W]
 
 
