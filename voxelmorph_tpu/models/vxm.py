@@ -148,12 +148,20 @@ class VxmDense(nn.Module):
 
         warp = lambda img, w: warp_ops.transform_batched(
             img, w, fill_value=self.fill_value)
-        y_source = warp(source.astype(jnp.float32), pos_flow)
+        # Image dtype for the final full-res warp. Training keeps f32 (loss
+        # numerics unchanged); bf16-model INFERENCE warps the image in bf16 —
+        # interpn's corner table then stays bf16, halving the build traffic
+        # and doubling the useful bytes per random-gather cache line of the
+        # hottest full-res stage. The seg transport (hard Dice) is a separate
+        # nearest gather and is unaffected.
+        img_dt = jnp.float32 if train else self.dtype
+        y_source = warp(source.astype(img_dt), pos_flow).astype(jnp.float32)
         outputs["y_source"] = y_source
         outputs["unet_out"] = unet_out
         outputs["pos_flow"] = pos_flow
         if self.bidir:
-            outputs["y_target"] = warp(target.astype(jnp.float32), neg_flow)
+            outputs["y_target"] = warp(
+                target.astype(img_dt), neg_flow).astype(jnp.float32)
             outputs["neg_flow"] = neg_flow
 
         if self.use_probs:

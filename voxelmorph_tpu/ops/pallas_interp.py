@@ -513,4 +513,7 @@ def warp_bounded(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> jnp.nda
     assert loc_shift.shape[-1] == 3, "pallas warp kernel is 3-D only"
     vol_cf = jnp.moveaxis(vol, -1, 0).astype(jnp.float32)
     out_cf = _warp_bounded_cf(vol_cf, loc_shift.astype(jnp.float32), int(halo))
-    return jnp.moveaxis(out_cf, 0, -1).astype(vol.dtype)
+    # match the XLA paths' promotion (gather/windowed emit the promoted
+    # dtype) so lax.switch branches agree when vol is bf16
+    return jnp.moveaxis(out_cf, 0, -1).astype(
+        jnp.promote_types(vol.dtype, loc_shift.dtype))
