@@ -94,11 +94,12 @@ def main(argv=None):
               f"+/- {np.std(d_reg):.4f}  (identity {np.mean(d_id):.4f})  "
               f"folded {pct_folded:.3f}%")
 
+    shape_str = "x".join(str(s) for s in host[pairs[0][0]]["vol"].shape)
     report = {
         "protocol": "BASELINE.md: fused warp-predict + nearest seg transport "
                     f"+ hard Dice over {len(labels)} labels "
                     f"({os.path.basename(args.labels)}); pairs from "
-                    f"{args.pairs}",
+                    f"{args.pairs}; volume resolution {shape_str}",
         "model": os.path.abspath(args.model),
         "n_pairs": len(pairs),
         "n_labels": len(np.asarray(per_label)[0]),

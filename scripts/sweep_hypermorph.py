@@ -55,6 +55,15 @@ def main(argv=None):
                                                interp_method="nearest")
         return warp, moved_seg
 
+    # identity (unregistered) Dice floor, lambda-independent
+    id_dices = []
+    for mov_path, fix_path in pairs:
+        mov, fix = np.load(mov_path), np.load(fix_path)
+        id_dices.append(float(np.mean(
+            vxm.py.utils.dice(mov["seg"], fix["seg"], labels=labels))))
+    identity_mean = round(float(np.mean(id_dices)), 4)
+    print(f"identity floor: dice {identity_mean:.4f}")
+
     rows = []
     for lam in args.lambdas:
         hyp = jnp.full((1, 1), lam, jnp.float32)
@@ -77,8 +86,12 @@ def main(argv=None):
         print(f"lambda {lam:4.2f}: dice {rows[-1]['dice_mean']:.4f}  "
               f"folded {rows[-1]['pct_folded_mean']:.3f}%")
 
+    shape_str = "x".join(str(s) for s in np.load(pairs[0][0])["vol"].shape)
     report = {"model": os.path.abspath(args.model),
               "n_pairs": len(pairs), "n_labels": int(len(labels)),
+              "protocol": f"identity-floor Dice sweep over lambda; volume "
+                          f"resolution {shape_str}; pairs from {args.pairs}",
+              "identity_dice_mean": identity_mean,
               "sweep": rows}
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
