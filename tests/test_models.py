@@ -103,6 +103,23 @@ def test_vxm_dense_initial_flow_is_tiny():
     np.testing.assert_allclose(np.asarray(out["y_source"]), np.asarray(src), atol=1e-2)
 
 
+def test_vxm_dense_bf16_inference_matches_f32_warp():
+    """Inference warps the image in the model dtype (bf16 corner table on
+    TPU); the result must stay f32-typed and numerically close to the f32
+    path — the seg transport that drives Dice is a separate nearest gather."""
+    src = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    trg = jnp.asarray(RNG.normal(size=(1, *SHAPE2D, 1)).astype(np.float32))
+    m32 = make_vxm(dtype=jnp.float32)
+    params = m32.init(jax.random.PRNGKey(0), src, trg)["params"]
+    out32 = m32.apply({"params": params}, src, trg, train=False)
+    m16 = make_vxm(dtype=jnp.bfloat16)
+    out16 = m16.apply({"params": params}, src, trg, train=False)
+    assert out16["y_source"].dtype == jnp.float32
+    # bf16 has ~3 decimal digits; the unet itself also runs bf16 here
+    np.testing.assert_allclose(np.asarray(out16["y_source"]),
+                               np.asarray(out32["y_source"]), atol=3e-2)
+
+
 def test_vxm_dense_bidir():
     model = make_vxm(bidir=True)
     src = jnp.zeros((1, *SHAPE2D, 1))
