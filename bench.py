@@ -384,9 +384,12 @@ if __name__ == "__main__":
     detail["infer_bs8"] = ("skipped: diagnosed deterministic XLA OOM "
                            "(39.38G vs 15.75G hbm, BENCH_r03)")
 
-    # Stage 1 — headline: bf16 inference sweep (bs 1/2/4; no doomed bs8).
+    # Stage 1 — the headline config ONLY: bs4-bf16 (best every round). The
+    # round-4 trial showed the full bs1/2/4 sweep costs ~10 min of tunneled
+    # compiles and starves the train stage even after it was moved up; the
+    # headline needs one compile, so the sweep's tail moves to stage 4.
     try:
-        measure_inference()
+        measure_inference(batch_sizes=(4,))
     except Exception as e:
         detail["inference_sweep"] = _short_err(e)
 
@@ -423,7 +426,16 @@ if __name__ == "__main__":
     else:
         detail["vecint_ab"] = f"skipped: {_remaining():.0f}s left"
 
-    # Stage 4 — f32 inference sweep (informational; bf16 owns the headline).
+    # Stage 4 — rest of the bf16 batch sweep (informational: bs 1/2).
+    if _remaining() > 240:
+        try:
+            measure_inference(batch_sizes=(1, 2))
+        except Exception as e:
+            detail["inference_sweep_small_bs"] = _short_err(e)
+    else:
+        detail["inference_sweep_small_bs"] = f"skipped: {_remaining():.0f}s left"
+
+    # Stage 5 — f32 inference sweep (informational; bf16 owns the headline).
     if _remaining() > 180:
         try:
             measure_inference(dtypes=("float32",))
