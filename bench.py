@@ -132,6 +132,28 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
+def _init_params_small(model_ctor, nb_inputs=2):
+    """Initialize params on the CPU backend at a tiny volume.
+
+    Every VxmDense parameter is a conv kernel / bias whose shape is
+    independent of the spatial extent, so a 32^3 init produces the identical
+    pytree as a full-res init — without the multi-minute full-resolution
+    init compile over the tunneled TPU backend that ate ~2 min of the
+    round-4 trial's stage-1 budget.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    small = (32, 32, 32)
+    model = model_ctor(small)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        args = [jnp.zeros((1, *small, 1), jnp.float32)
+                for _ in range(nb_inputs)]
+        params = model.init(jax.random.PRNGKey(0), *args)["params"]
+    return params
+
+
 def _load_pair():
     """Use the reference's canonical eval volume when available, else synthesize."""
     ref = "/root/reference/data/test_scan.npz"
@@ -173,28 +195,37 @@ def _timed_chain_stats(fn, *args, iters=8, warmup=2, repeats=3):
 
 
 def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
-                      iters=8, warmup=2):
+                      iters=8, warmup=2, fast_warp=True):
     """Registration forward throughput sweep. Updates RESULT in place.
 
-    bf16 holds the headline (best has been bs4-bf16 every round). bs8 is NOT
-    attempted: its failure is diagnosed and deterministic (XLA OOM, 39.38 GB
-    vs 15.75 GB HBM — BENCH_r03, README), and the two doomed multi-minute
-    compiles starved the train stage out of rounds 2 and 3. The f32 sweep is
-    a separate call, gated on remaining wall-clock after the train stage.
+    bf16 holds the headline (best has been bs4-bf16 every round). The
+    headline path runs with the phase warp enabled (fast_warp=True: the
+    final full-res warp as 2^3 bounded Pallas applications of the
+    integration root instead of one 108 ms corner-table gather —
+    registration.enable_fast_warp); pass fast_warp=False to measure the
+    reference-exact single-gather path (recorded under ``*_exact_warp``
+    keys). bs8 is NOT attempted: its failure is diagnosed and deterministic
+    (XLA OOM, 39.38 GB vs 15.75 GB HBM — BENCH_r03, README), and the two
+    doomed multi-minute compiles starved the train stage out of rounds 2
+    and 3. The f32 sweep is a separate call, gated on remaining wall-clock
+    after the train stage.
     """
     import jax
     import jax.numpy as jnp
     from voxelmorph_tpu.models import VxmDense
+    from voxelmorph_tpu.registration import enable_fast_warp
 
     moving, fixed = _load_pair()
     detail = RESULT["detail"]
-    best_mfu = {}
     for dtype_name in dtypes:
         dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2,
                          dtype=dtype)
-        params = model.init(jax.random.PRNGKey(0),
-                            jnp.asarray(moving), jnp.asarray(fixed))["params"]
+        if fast_warp:
+            model = enable_fast_warp(model)
+        params = _init_params_small(
+            lambda s: VxmDense(inshape=s, int_steps=7, int_resolution=2,
+                               dtype=dtype))
 
         @jax.jit
         def reg_probe(params, mv, fx):
@@ -205,7 +236,8 @@ def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
         for bs in batch_sizes:
             mv = jnp.asarray(np.repeat(moving, bs, axis=0))
             fx = jnp.asarray(np.repeat(fixed, bs, axis=0))
-            key = f"infer_bs{bs}_{dtype_name}"
+            key = (f"infer_bs{bs}_{dtype_name}"
+                   + ("" if fast_warp else "_exact_warp"))
             try:
                 dt = _timed_chain(lambda m, f: reg_probe(params, m, f), mv, fx,
                                   iters=iters, warmup=warmup)
@@ -216,15 +248,29 @@ def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
             detail[key] = round(pairs_per_s, 4)
             if pairs_per_s > RESULT["value"]:
                 RESULT["value"], RESULT["best_cfg"] = pairs_per_s, key
-                flops = _compiled_flops(reg_probe, params, mv, fx)
-                if flops:
-                    tfs = flops / dt / 1e12
-                    best_mfu = {
-                        "model_tflop_fwd": round(flops / bs / 1e12, 4),
-                        "tflops_per_s": round(tfs, 2),
-                        "mfu": round(tfs / PEAK_TFLOPS[dtype_name], 4),
-                    }
-    detail.update(best_mfu)
+                # cost analysis needs ANOTHER multi-minute AOT compile over
+                # the tunnel when cold — defer it to the final stage (it only
+                # decorates the headline with MFU; the round-4 trial showed
+                # it starving the train stage out of the budget)
+                RESULT["mfu_probe"] = (reg_probe, params, mv, fx, bs, dt,
+                                       dtype_name)
+
+
+def measure_mfu():
+    """Decorate the headline config with analytic-FLOPs MFU (deferred: the
+    cost-analysis compile is expensive when cold)."""
+    probe = RESULT.get("mfu_probe")
+    if probe is None:
+        return
+    reg_probe, params, mv, fx, bs, dt, dtype_name = probe
+    flops = _compiled_flops(reg_probe, params, mv, fx)
+    if flops:
+        tfs = flops / dt / 1e12
+        RESULT["detail"].update({
+            "model_tflop_fwd": round(flops / bs / 1e12, 4),
+            "tflops_per_s": round(tfs, 2),
+            "mfu": round(tfs / PEAK_TFLOPS[dtype_name], 4),
+        })
 
 
 def measure_train_step(iters=5, warmup=2, dtype_name="float32", batch_size=1):
@@ -248,7 +294,12 @@ def measure_train_step(iters=5, warmup=2, dtype_name="float32", batch_size=1):
                  target_index=1, name="grad"),
     ]
     trainer = Trainer(model, terms, lr=1e-4)
-    trainer.init((moving, fixed))
+    # params via the tiny-volume CPU init (shape-independent conv pytree) —
+    # skips a second full-res init compile on the tunneled device
+    small_params = _init_params_small(
+        lambda s: VxmDense(inshape=s, int_steps=7, int_resolution=2,
+                           dtype=dtype))
+    trainer.init((moving, fixed), params=small_params)
     zeros = np.zeros((batch_size, *INSHAPE, 3), np.float32)
 
     # keep the batch device-resident: on a tunneled backend the host->device
@@ -383,6 +434,12 @@ if __name__ == "__main__":
     detail = RESULT["detail"]
     detail["infer_bs8"] = ("skipped: diagnosed deterministic XLA OOM "
                            "(39.38G vs 15.75G hbm, BENCH_r03)")
+    detail["headline_protocol"] = (
+        "fused register fn (y_source + pos_flow), phase-warp inference path "
+        "(fast_warp_phases=3, halo=2: final warp = 8 bounded Pallas "
+        "applications of the integration root; pos_flow and seg transport "
+        "unchanged); *_exact_warp keys measure the reference-exact "
+        "single-gather path")
 
     # Stage 1 — the headline config ONLY: bs4-bf16 (best every round). The
     # round-4 trial showed the full bs1/2/4 sweep costs ~10 min of tunneled
@@ -426,7 +483,19 @@ if __name__ == "__main__":
     else:
         detail["vecint_ab"] = f"skipped: {_remaining():.0f}s left"
 
-    # Stage 4 — rest of the bf16 batch sweep (informational: bs 1/2).
+    # Stage 3b — headline MFU (deferred cost-analysis compile; near-free
+    # when the persistent compile cache is warm).
+    if _remaining() > 150:
+        try:
+            measure_mfu()
+        except Exception as e:
+            detail["mfu"] = _short_err(e)
+    else:
+        detail["mfu"] = f"skipped: {_remaining():.0f}s left"
+
+    # Stage 4 — rest of the bf16 batch sweep (informational: bs 1/2), plus
+    # the reference-exact single-gather warp at the headline batch size (the
+    # A/B that quantifies what the phase warp buys end-to-end).
     if _remaining() > 240:
         try:
             measure_inference(batch_sizes=(1, 2))
@@ -434,6 +503,13 @@ if __name__ == "__main__":
             detail["inference_sweep_small_bs"] = _short_err(e)
     else:
         detail["inference_sweep_small_bs"] = f"skipped: {_remaining():.0f}s left"
+    if _remaining() > 200:
+        try:
+            measure_inference(batch_sizes=(4,), fast_warp=False)
+        except Exception as e:
+            detail["inference_exact_warp"] = _short_err(e)
+    else:
+        detail["inference_exact_warp"] = f"skipped: {_remaining():.0f}s left"
 
     # Stage 5 — f32 inference sweep (informational; bf16 owns the headline).
     if _remaining() > 180:

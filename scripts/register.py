@@ -26,6 +26,12 @@ def parse_args(argv=None):
     parser.add_argument('--hyper', type=float, default=0.5,
                         help='hyperparameter fed to HyperMorph models (HyperVxmDense/'
                              'HyperVxmJoint; ignored by others)')
+    parser.add_argument('--fast-warp', action='store_true',
+                        help='warp the moving image via the phase-warp fast path '
+                             '(2^3 bounded Pallas warps by the integration root '
+                             'instead of one full-res gather; the warp field is '
+                             'unchanged, the moved image carries 8 trilinear '
+                             'resamplings instead of 1)')
     return parser.parse_args(argv)
 
 
@@ -46,6 +52,9 @@ def main(argv=None):
         args.fixed, add_batch_axis=True, add_feat_axis=add_feat_axis, ret_affine=True)
 
     model, params = resolve_registration_model(*load_model(args.model))
+    if args.fast_warp:
+        from voxelmorph_tpu.registration import enable_fast_warp
+        model = enable_fast_warp(model)
     mv = jnp.asarray(moving, jnp.float32)
     fx = jnp.asarray(fixed, jnp.float32)
     if type(model).__name__ == "HyperVxmJoint":

@@ -30,6 +30,10 @@ def parse_args(argv=None):
                              'HyperVxmJoint; ignored by others)')
     parser.add_argument('--multichannel', action='store_true',
                         help='volumes already carry a trailing channel axis')
+    parser.add_argument('--fast-warp', action='store_true',
+                        help='time the phase-warp inference path (bounded Pallas '
+                             'warps by the integration root; Dice is computed on '
+                             'the seg transport by pos_flow and is unaffected)')
     return parser.parse_args(argv)
 
 
@@ -57,6 +61,9 @@ def main(argv=None):
         path, np_var=var, add_batch_axis=True, add_feat_axis=feat_axis)
 
     model, params = resolve_registration_model(*load_model(args.model))
+    if args.fast_warp:
+        from voxelmorph_tpu.registration import enable_fast_warp
+        model = enable_fast_warp(model)
     register = build_eval_register_fn(model, hyper=args.hyper)
 
     timings, scores = [], []

@@ -124,3 +124,35 @@ def test_linear_1ch_custom_vjp_under_vmap():
     gv2, gl2 = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(vol), jnp.asarray(loc))
     np.testing.assert_allclose(np.asarray(gv), np.asarray(gv2), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gl), np.asarray(gl2), rtol=2e-4, atol=2e-4)
+
+
+def test_wide_channel_per_corner_branch_matches_table(monkeypatch):
+    """The per-corner accumulation branch (taken when the corner table would
+    exceed the byte limit — e.g. full-res SynthMorph 30-channel one-hot
+    warps) is numerically identical to the corner-table gather, including
+    edge clamping and gradients."""
+    import jax
+
+    spatial, nch = (6, 7, 5), 4
+    vol = RNG.normal(size=(*spatial, nch)).astype(np.float32)
+    loc = RNG.uniform(-1.5, 8.5, size=(11, 13, 3)).astype(np.float32)
+
+    want = np.asarray(I.interpn(jnp.asarray(vol), jnp.asarray(loc)))
+    monkeypatch.setattr(I, "_CORNER_TABLE_BYTES_LIMIT", 0)
+    got = np.asarray(I.interpn(jnp.asarray(vol), jnp.asarray(loc)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gradients agree too (the synth one-hot warp is differentiated by Dice)
+    def loss(v, l, w):
+        return jnp.sum(I.interpn(v, l) * w)
+
+    w = jnp.asarray(RNG.normal(size=(11, 13, nch)).astype(np.float32))
+    gv_got, gl_got = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(vol), jnp.asarray(loc), w)
+    monkeypatch.undo()
+    gv_want, gl_want = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(vol), jnp.asarray(loc), w)
+    np.testing.assert_allclose(np.asarray(gv_got), np.asarray(gv_want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gl_got), np.asarray(gl_want),
+                               rtol=1e-4, atol=1e-4)

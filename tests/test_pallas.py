@@ -107,7 +107,11 @@ def test_kernel_vmem_eligibility():
     assert kernel_vmem_fits((80, 96, 112), 1, 1)
     assert kernel_vmem_fits((80, 96, 112), 3, 1)       # bench A/B config
     assert kernel_vmem_fits((80, 96, 112), 3, 2)       # vecint halo-2 config
-    # full-res slabs blow the packed-window kernel's VMEM stack (measured
-    # 19.68 MB actual at nch 1: gate must route these to the XLA paths)
-    assert not kernel_vmem_fits((160, 192, 224), 1, 1)
+    # full-res single-channel slabs: the v4 forward fits (measured on-chip,
+    # pallas A/B full_h1/full_h2 configs) — the default fwd-mode gate admits
+    # them and the VJP quietly takes its XLA fallback; the all-Pallas 'both'
+    # gate still routes them to the XLA paths (the bwd window blows VMEM)
+    assert kernel_vmem_fits((160, 192, 224), 1, 1)
+    assert kernel_vmem_fits((160, 192, 224), 1, 2)     # phase-warp config
+    assert not kernel_vmem_fits((160, 192, 224), 1, 1, mode="both")
     assert not kernel_vmem_fits((8, 8), 1, 1)          # 3-D only

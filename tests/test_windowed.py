@@ -88,3 +88,64 @@ def test_tiered_dispatch_all_three_regimes():
         ab = np.asarray(W.transform_batched(
             vol[None], shift[None], window_halo=2))[0]
         np.testing.assert_allclose(ab, b, rtol=1e-4, atol=1e-4)
+
+
+def test_integrate_root_is_partial_integration():
+    """return_root_steps=s yields exactly the field after nb_steps - s
+    squarings — bit-identical to integrating vec/2^s for nb_steps - s steps
+    (same scaled start, same step function)."""
+    v = jnp.asarray(RNG.uniform(-4, 4, size=(1, 12, 12, 10, 3)).astype(np.float32))
+    full, root = W.integrate_vec_batched(v, nb_steps=6, return_root_steps=2)
+    full_ref = W.integrate_vec_batched(v, nb_steps=6)
+    root_ref = W.integrate_vec_batched(v / 4.0, nb_steps=4)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(full_ref))
+    np.testing.assert_array_equal(np.asarray(root), np.asarray(root_ref))
+
+
+def test_phase_warp_matches_single_gather():
+    """2^s bounded warps by the 2^s-th root ~= one gather by the full flow
+    (both are first-order compositions; they agree to interpolation error on
+    a smooth field), and pos_flow-side outputs are untouched by design."""
+    shape = (14, 12, 10)
+    # smooth, small-magnitude SVF -> smooth diffeomorphic flow
+    g = np.stack(np.meshgrid(*[np.linspace(0, np.pi, s) for s in shape],
+                             indexing="ij"), -1)
+    svf = (2.5 * np.stack([np.sin(g[..., 0]) * np.cos(g[..., 1]),
+                           np.sin(g[..., 1]) * np.cos(g[..., 2]),
+                           np.sin(g[..., 2]) * np.cos(g[..., 0])],
+                          -1)).astype(np.float32)[None]
+    # smooth image: both paths are exact up to trilinear interpolation error,
+    # which scales with image curvature per voxel — at this tiny grid the
+    # test image's wavelength spans ~10 voxels (far rougher than MRI at
+    # 160^3), so the bound is loose; constant-shift exactness is pinned by
+    # the case below and in the diagnostic harness
+    img = np.sin(g[..., 0] * 0.9) * np.cos(g[..., 1] * 1.1) * np.sin(g[..., 2])
+    vols = jnp.asarray(img.astype(np.float32))[None, ..., None]
+    full, root = W.integrate_vec_batched(jnp.asarray(svf), nb_steps=5,
+                                         return_root_steps=2)
+    classic = np.asarray(W.transform_batched(vols, full, window_halo=None))
+    phased = np.asarray(W.phase_warp_batched(vols, root, full, 4, halo=2))
+    assert float(np.max(np.abs(np.asarray(root)))) <= 2.0  # fast branch taken
+    np.testing.assert_allclose(phased, classic, atol=0.12)
+    assert float(np.mean(np.abs(phased - classic))) < 2e-2
+
+    # a constant integer-shift root composes exactly: both paths bit-agree
+    c = jnp.ones((1, *shape, 3), jnp.float32)
+    exact_classic = np.asarray(W.transform_batched(vols, 4 * c, window_halo=None))
+    exact_phased = np.asarray(W.phase_warp_batched(vols, c, 4 * c, 4, halo=2))
+    np.testing.assert_array_equal(exact_phased, exact_classic)
+
+
+def test_phase_warp_falls_back_to_exact_gather():
+    """When the root's displacement exceeds the halo, the phase warp must be
+    bit-identical to the classic gather by the full flow."""
+    shape = (8, 9, 10)
+    vols = jnp.asarray(RNG.normal(size=(2, *shape, 1)).astype(np.float32))
+    full = jnp.asarray(RNG.uniform(-5, 5, size=(2, *shape, 3)).astype(np.float32))
+    root = 0.5 * full
+    root = root.at[0, 0, 0, 0, 0].set(3.7)  # > halo
+    classic = np.asarray(W.transform_batched(vols, full, window_halo=None))
+    phased = np.asarray(W.phase_warp_batched(vols, root, full, 4, halo=2))
+    # same gather math; tolerance only for XLA fusion/reassociation inside
+    # the cond branch
+    np.testing.assert_allclose(phased, classic, rtol=1e-6, atol=1e-6)

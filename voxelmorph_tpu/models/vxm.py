@@ -69,6 +69,18 @@ class VxmDense(nn.Module):
     reg_field: str = "preintegrated"
     hyper: bool = False
     dtype: Any = jnp.float32
+    # Inference fast path: move the last s squarings of scaling-and-squaring
+    # from field space to image space — warp the image 2^s times by the
+    # integration intermediate (the 2^s-th root of pos_flow, whose
+    # displacements are ~2^s smaller) through the bounded Pallas kernel
+    # instead of one full-resolution corner-table gather (measured 108 ms of
+    # a 154 ms forward, PERF_BREAKDOWN_r04). pos_flow and every field output
+    # are unchanged; y_source carries 2^s trilinear resamplings instead of 1.
+    # Falls back to the exact gather at runtime when the root's displacement
+    # exceeds fast_warp_halo, and at trace time off-TPU / when the kernel
+    # does not fit VMEM. 0 disables (reference-exact default).
+    fast_warp_phases: int = 0
+    fast_warp_halo: int = 2
 
     @nn.compact
     def __call__(self, source, target, hyp=None, train: bool = True):
@@ -133,18 +145,44 @@ class VxmDense(nn.Module):
         pos_flow = flow
         neg_flow = -flow if self.bidir else None
 
+        # phase-warp eligibility is a trace-time decision (see field docs)
+        fast_s = 0
+        if (not train and self.fast_warp_phases > 0 and self.int_steps > 0
+                and ndims == 3 and self.fill_value is None):
+            from ..ops import pallas_interp
+            nch = source.shape[-1]
+            if (pallas_interp.pallas_available()
+                    and pallas_interp.kernel_vmem_fits(
+                        tuple(self.inshape), nch, self.fast_warp_halo)):
+                fast_s = min(int(self.fast_warp_phases), self.int_steps)
+        pos_root = neg_root = None
+
         if self.int_steps > 0:
-            pos_flow = warp_ops.integrate_vec_batched(pos_flow, nb_steps=self.int_steps)
-            if self.bidir:
-                neg_flow = warp_ops.integrate_vec_batched(neg_flow, nb_steps=self.int_steps)
+            if fast_s:
+                pos_flow, pos_root = warp_ops.integrate_vec_batched(
+                    pos_flow, nb_steps=self.int_steps, return_root_steps=fast_s)
+                if self.bidir:
+                    neg_flow, neg_root = warp_ops.integrate_vec_batched(
+                        neg_flow, nb_steps=self.int_steps,
+                        return_root_steps=fast_s)
+            else:
+                pos_flow = warp_ops.integrate_vec_batched(
+                    pos_flow, nb_steps=self.int_steps)
+                if self.bidir:
+                    neg_flow = warp_ops.integrate_vec_batched(
+                        neg_flow, nb_steps=self.int_steps)
         outputs["postint_flow"] = pos_flow
 
         # back to full resolution
         if self.int_steps > 0 and self.int_resolution > 1:
             factor = self.inshape[0] / int_size[0]
             pos_flow = rescale_flow(pos_flow, factor)
+            if pos_root is not None:
+                pos_root = rescale_flow(pos_root, factor)
             if self.bidir:
                 neg_flow = rescale_flow(neg_flow, factor)
+                if neg_root is not None:
+                    neg_root = rescale_flow(neg_root, factor)
 
         warp = lambda img, w: warp_ops.transform_batched(
             img, w, fill_value=self.fill_value)
@@ -155,13 +193,23 @@ class VxmDense(nn.Module):
         # hottest full-res stage. The seg transport (hard Dice) is a separate
         # nearest gather and is unaffected.
         img_dt = jnp.float32 if train else self.dtype
-        y_source = warp(source.astype(img_dt), pos_flow).astype(jnp.float32)
+        if fast_s:
+            y_source = warp_ops.phase_warp_batched(
+                source.astype(img_dt), pos_root, pos_flow,
+                2 ** fast_s, self.fast_warp_halo)
+        else:
+            y_source = warp(source.astype(img_dt), pos_flow).astype(jnp.float32)
         outputs["y_source"] = y_source
         outputs["unet_out"] = unet_out
         outputs["pos_flow"] = pos_flow
         if self.bidir:
-            outputs["y_target"] = warp(
-                target.astype(img_dt), neg_flow).astype(jnp.float32)
+            if fast_s:
+                outputs["y_target"] = warp_ops.phase_warp_batched(
+                    target.astype(img_dt), neg_root, neg_flow,
+                    2 ** fast_s, self.fast_warp_halo)
+            else:
+                outputs["y_target"] = warp(
+                    target.astype(img_dt), neg_flow).astype(jnp.float32)
             outputs["neg_flow"] = neg_flow
 
         if self.use_probs:

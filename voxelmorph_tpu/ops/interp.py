@@ -60,6 +60,13 @@ def volshape_to_meshgrid(shape: Sequence[int], indexing: str = "ij", dtype=jnp.f
     return ndgrid(shape, dtype=dtype, stacked=False)
 
 
+# Above this corner-table footprint (V * 2^N * C * itemsize) the generic
+# linear gather switches to per-corner accumulation — the half-res SynthMorph
+# one-hot warp (860k voxels x 8 x ~31ch ~= 850 MB) stays on the single-gather
+# table, full-res (26 GB) cannot.
+_CORNER_TABLE_BYTES_LIMIT = 1 << 30
+
+
 def _flatten_strides(spatial: Sequence[int]) -> list:
     """Row-major strides of a spatial shape, for linearizing ND indices."""
     strides = []
@@ -244,33 +251,57 @@ def interpn(
             int(sum(b * s for b, s in zip(bits, strides)))
             for bits in corner_bits
         ]
-        table = jnp.concatenate(
-            [jnp.roll(vol_flat, -off, axis=0) for off in offsets], axis=-1
-        )  # (V, 2^N * C)
         lin0 = functools.reduce(
             jnp.add, [i * s for i, s in zip(idx0, strides)])  # (M,)
-        gathered = jnp.take(table, lin0, axis=0)  # (M, 2^N * C)
-
-        wts = jnp.stack(
-            [
-                functools.reduce(
+        table_bytes = (int(vol_flat.shape[0]) * ncorners * nch
+                       * jnp.dtype(compute_dtype).itemsize)
+        if nch > 1 and table_bytes > _CORNER_TABLE_BYTES_LIMIT:
+            # Wide-channel volumes (e.g. SynthMorph's full-res 30-label
+            # one-hot maps): the corner table would materialize V * 2^N * C
+            # — 26 GB at 160x192x224 x 30 channels (measured compile-time
+            # OOM: f32[1,6881280,8,30]). Accumulate per corner instead: 2^N
+            # sequential (M, C) gathers with no table. Rows past the volume
+            # end (upper-edge cells) clamp under jnp.take's clip mode and
+            # carry identically-zero weights, so the clamped garbage never
+            # contributes.
+            out = None
+            for bits, off in zip(corner_bits, offsets):
+                w_c = functools.reduce(
                     jnp.multiply,
                     [w1[d] if b else w0[d] for d, b in enumerate(bits)],
-                )
-                for bits in corner_bits
-            ],
-            axis=-1,
-        )  # (M, 2^N)
-        # weighted corner reduction as multiply + reduce, NOT einsum: a dot
-        # formulation forces a layout copy of the rank-3 gather result, and
-        # inside lax.scan XLA materializes it with the trailing unit dim
-        # padded to a 128 lane tile (measured: a 220 MB table copied as 28 GB
-        # at 160x192x224, C=1). Elementwise ops fuse into the gather instead.
-        if nch == 1:
-            out = jnp.sum(gathered * wts, axis=-1, keepdims=True)
+                )  # (M,)
+                corner = jnp.take(vol_flat, lin0 + off, axis=0,
+                                  mode="clip")  # (M, C)
+                term = corner * w_c[:, None]
+                out = term if out is None else out + term
         else:
-            out = jnp.sum(gathered.reshape(-1, ncorners, nch) * wts[..., None],
-                          axis=-2)
+            table = jnp.concatenate(
+                [jnp.roll(vol_flat, -off, axis=0) for off in offsets], axis=-1
+            )  # (V, 2^N * C)
+            gathered = jnp.take(table, lin0, axis=0)  # (M, 2^N * C)
+
+            wts = jnp.stack(
+                [
+                    functools.reduce(
+                        jnp.multiply,
+                        [w1[d] if b else w0[d] for d, b in enumerate(bits)],
+                    )
+                    for bits in corner_bits
+                ],
+                axis=-1,
+            )  # (M, 2^N)
+            # weighted corner reduction as multiply + reduce, NOT einsum: a
+            # dot formulation forces a layout copy of the rank-3 gather
+            # result, and inside lax.scan XLA materializes it with the
+            # trailing unit dim padded to a 128 lane tile (measured: a 220 MB
+            # table copied as 28 GB at 160x192x224, C=1). Elementwise ops
+            # fuse into the gather instead.
+            if nch == 1:
+                out = jnp.sum(gathered * wts, axis=-1, keepdims=True)
+            else:
+                out = jnp.sum(
+                    gathered.reshape(-1, ncorners, nch) * wts[..., None],
+                    axis=-2)
     else:
         raise ValueError(f"interp_method must be 'linear' or 'nearest', got {interp_method}")
 

@@ -145,17 +145,27 @@ def _pick_tz(spatial, nch: int, halo: int, mode: str):
     return None
 
 
-def kernel_vmem_fits(spatial, nch: int, halo: int) -> bool:
-    """True when BOTH the fwd and vjp kernels fit scoped VMEM at some slab
-    size — evaluated with the same model and tz choice the kernels use, so
-    the gate can never admit a configuration the launcher would then OOM.
-    Many-channel volumes (e.g. SynthMorph's ~45-channel one-hot label maps)
-    and full-res 192x224 slabs at halo 2 fall back to the XLA paths.
+def kernel_vmem_fits(spatial, nch: int, halo: int, mode: str = "fwd") -> bool:
+    """True when the kernel fits scoped VMEM at some slab size — evaluated
+    with the same model and tz choice the kernels use, so the gate can never
+    admit a configuration the launcher would then OOM. Many-channel volumes
+    (e.g. SynthMorph's ~45-channel one-hot label maps) fall back to the XLA
+    paths.
+
+    mode 'fwd' (default) gates on the forward kernel only: the VJP falls
+    back to the XLA shifted-slice backward on its own when its kernel does
+    not fit (see ``_warp_cf_bwd``), so a fitting forward is always safe to
+    dispatch — and inference (e.g. the full-resolution phase warp, where the
+    backward never runs) would otherwise be blocked by the much larger
+    backward footprint. mode 'both' additionally requires the VJP kernel,
+    for callers that want the all-Pallas guarantee.
     """
     if len(spatial) != 3:
         return False
-    return (_pick_tz(spatial, nch, halo, "fwd") is not None
-            and _pick_tz(spatial, nch, halo, "bwd") is not None)
+    fwd_ok = _pick_tz(spatial, nch, halo, "fwd") is not None
+    if mode == "fwd":
+        return fwd_ok
+    return fwd_ok and _pick_tz(spatial, nch, halo, "bwd") is not None
 
 
 def _window_stack(arr, tz: int, p: int, grid: int):
@@ -465,10 +475,13 @@ def _warp_cf_bwd(h, res, g):
 
     VXM_PALLAS_BWD=0 falls back to the XLA shifted-slice version (also the
     path taken on hosts without the TPU backend, where the forward itself
-    only runs under the Pallas interpreter).
-    """
+    only runs under the Pallas interpreter), as does any configuration whose
+    backward kernel does not fit scoped VMEM — the forward-only dispatch
+    gate (``kernel_vmem_fits`` mode 'fwd') admits those."""
     vol_cf, shift = res
-    if os.environ.get("VXM_PALLAS_BWD", "1") == "0":
+    nch, D, H, W = vol_cf.shape
+    if (os.environ.get("VXM_PALLAS_BWD", "1") == "0"
+            or _pick_tz((D, H, W), nch, h, "bwd") is None):
         return _warp_cf_bwd_ref(h, res, g)
     return _bwd_impl_pallas(vol_cf, shift, g, h)
 

@@ -51,6 +51,7 @@ __all__ = [
     "rescale_dense_transform",
     "integrate_vec",
     "integrate_vec_batched",
+    "phase_warp_batched",
     "point_spatial_transformer",
     "value_at_location",
     "jacobian_determinant",
@@ -281,14 +282,23 @@ def integrate_vec_batched(
     nb_steps: int = 7,
     remat: bool = True,
     window_halo: Optional[int] = DEFAULT_WINDOW_HALO,
-) -> jnp.ndarray:
+    return_root_steps: int = 0,
+):
     """Batched scaling-and-squaring with per-step batch-level adaptive warps.
 
     vec: (B, *S, N). Early steps (tiny displacements after the 2^-n scaling)
     run the windowed fast path; later steps fall back to the gather — decided
     once per step for the whole batch.
+
+    With ``return_root_steps = s > 0``, also returns the intermediate field
+    ``root`` after ``nb_steps - s`` squarings — the 2^s-th root of the final
+    transform in the diffeomorphism group (``root`` composed with itself 2^s
+    times equals the result, up to interpolation error). It is a free
+    byproduct of the loop; see ``phase_warp_batched`` for why it's useful.
+    Returns ``(final, root)`` in that case.
     """
     assert nb_steps >= 0
+    assert 0 <= return_root_steps <= nb_steps
     vec = vec / (2.0 ** nb_steps)
 
     def step(v):
@@ -296,9 +306,60 @@ def integrate_vec_batched(
 
     if remat:
         step = jax.checkpoint(step)
-    for _ in range(nb_steps):
+    root = vec
+    for i in range(nb_steps):
+        if i == nb_steps - return_root_steps:
+            root = vec
         vec = step(vec)
+    if return_root_steps:
+        return vec, root
     return vec
+
+
+def phase_warp_batched(
+    vols: jnp.ndarray,
+    root: jnp.ndarray,
+    full_flow: jnp.ndarray,
+    n_apps: int,
+    halo: int,
+) -> jnp.ndarray:
+    """Warp ``vols`` by ``full_flow`` as ``n_apps`` successive bounded warps.
+
+    The TPU-side answer to the full-resolution warp gather being the single
+    most expensive stage of inference (measured 108 ms of a 154 ms forward at
+    160x192x224 — PERF_BREAKDOWN_r04): when ``root`` is the 2^s-th root of
+    ``full_flow`` from scaling-and-squaring (``integrate_vec_batched`` with
+    ``return_root_steps=s``) and its displacements are bounded by ``halo``,
+
+        vols ∘ full_flow  ==  ((vols ∘ root) ∘ root) ... (2^s times)
+
+    up to interpolation error — the same first-order composition identity
+    scaling-and-squaring itself uses, applied image-side instead of
+    field-side (the reference composes fields then gathers once,
+    tf/utils/utils.py:407-410; this composes the image through the bounded
+    Pallas kernel, which is a single sequential HBM pass per application).
+    Each application resamples the image, so the result carries 2^s
+    trilinear smoothings instead of 1 — pos_flow (and thus any seg
+    transport / Dice evaluation) is unaffected.
+
+    Falls back to the one-shot gather by ``full_flow`` (exact reference
+    semantics) whenever max|root| exceeds ``halo`` at runtime.
+    """
+    def fast(args):
+        v, r, _ = args
+        w = jax.vmap(lambda vv, rr: _windowed_impl(vv, rr, halo))
+        for _ in range(n_apps):
+            v = w(v, r)
+        return v.astype(jnp.float32)
+
+    def slow(args):
+        v, _, p = args
+        out = jax.vmap(lambda vv, pp: transform(vv, pp, window_halo=None))(v, p)
+        return out.astype(jnp.float32)
+
+    return jax.lax.cond(
+        jnp.max(jnp.abs(root)) <= float(halo), fast, slow,
+        (vols, root, full_flow))
 
 
 def batch_transform(
