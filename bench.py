@@ -143,14 +143,22 @@ def _init_params_small(model_ctor, nb_inputs=2):
     """
     import jax
     import jax.numpy as jnp
+    from voxelmorph_tpu.ops import warp as warp_ops
 
     small = (32, 32, 32)
     model = model_ctor(small)
     cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        args = [jnp.zeros((1, *small, 1), jnp.float32)
-                for _ in range(nb_inputs)]
-        params = model.init(jax.random.PRNGKey(0), *args)["params"]
+    # the bounded-warp dispatch gates on the GLOBAL backend (tpu), but this
+    # init executes on the CPU device — force the XLA path for its duration
+    # or pallas_call aborts with "only interpret mode on CPU backend"
+    warp_ops.set_pallas_dispatch(False)
+    try:
+        with jax.default_device(cpu):
+            args = [jnp.zeros((1, *small, 1), jnp.float32)
+                    for _ in range(nb_inputs)]
+            params = model.init(jax.random.PRNGKey(0), *args)["params"]
+    finally:
+        warp_ops.set_pallas_dispatch(True)
     return params
 
 

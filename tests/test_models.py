@@ -258,3 +258,42 @@ def test_vxm_overfits_toy_pair():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_vxm_dense_fast_warp_model_path(monkeypatch):
+    """The phase-warp inference path traces end-to-end at model level and
+    stays close to the exact path (both are first-order warp compositions).
+
+    CPU has no Pallas backend, so the model's eligibility gate is forced on
+    and the bounded warps take the XLA windowed fallback — exercising the
+    exact wiring (root capture, rescale, dtype flow, lax.cond) the TPU
+    dispatch uses."""
+    from voxelmorph_tpu.ops import pallas_interp, warp as warp_ops
+    from voxelmorph_tpu.registration import enable_fast_warp
+
+    shape = (32, 32, 16)
+    g = np.stack(np.meshgrid(*[np.linspace(0, np.pi, s) for s in shape],
+                             indexing="ij"), -1)
+    img = np.sin(g[..., 0]) * np.cos(g[..., 1]) * np.sin(g[..., 2] + 0.3)
+    src = jnp.asarray(img.astype(np.float32))[None, ..., None]
+    trg = jnp.roll(src, 2, axis=1)
+
+    model = VxmDense(inshape=shape, int_steps=5, int_resolution=2)
+    params = model.init(jax.random.PRNGKey(0), src, trg)["params"]
+    exact = model.apply({"params": params}, src, trg, train=False)
+
+    fast_model = enable_fast_warp(model, phases=2, halo=2)
+    assert fast_model.fast_warp_phases == 2
+    monkeypatch.setattr(pallas_interp, "pallas_available", lambda: True)
+    monkeypatch.setattr(pallas_interp, "kernel_vmem_fits",
+                        lambda *a, **k: True)
+    # keep the actual warps on the XLA windowed path (no TPU here)
+    monkeypatch.setattr(warp_ops, "_PALLAS_DISPATCH_OK", False)
+    fast = fast_model.apply({"params": params}, src, trg, train=False)
+
+    # field outputs are bit-identical (only y_source takes the phase path)
+    np.testing.assert_array_equal(np.asarray(fast["pos_flow"]),
+                                  np.asarray(exact["pos_flow"]))
+    # random-init flows are tiny: the phase warp agrees to interpolation err
+    np.testing.assert_allclose(np.asarray(fast["y_source"]),
+                               np.asarray(exact["y_source"]), atol=5e-3)
