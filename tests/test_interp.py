@@ -156,3 +156,33 @@ def test_wide_channel_per_corner_branch_matches_table(monkeypatch):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gl_got), np.asarray(gl_want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gather_bwd_wide_matches_narrow(monkeypatch):
+    """The wide (corner-table) backward of the 1-channel linear gather is
+    numerically identical to the narrow per-corner variant on both
+    d/dvol (scatter path, live in vecint self-warps) and d/dloc."""
+    import jax
+    import os
+
+    def grads(flag):
+        monkeypatch.setenv("VXM_GATHER_BWD", flag)
+        I._linear_gather_1ch.cache_clear()
+        rng = np.random.default_rng(3)
+        vol = jnp.asarray(rng.normal(size=(7, 6, 5, 1)).astype(np.float32))
+        loc = jnp.asarray(
+            rng.uniform(-1.5, 7.5, size=(11, 9, 3)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(11, 9, 1)).astype(np.float32))
+
+        def loss(v, l):
+            return jnp.sum(I.interpn(v, l) * w)
+
+        return jax.grad(loss, argnums=(0, 1))(vol, loc)
+
+    gv_n, gl_n = grads("narrow")
+    gv_w, gl_w = grads("wide")
+    I._linear_gather_1ch.cache_clear()  # drop env-dependent builds
+    np.testing.assert_allclose(np.asarray(gv_n), np.asarray(gv_w),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl_n), np.asarray(gl_w),
+                               rtol=1e-5, atol=1e-5)

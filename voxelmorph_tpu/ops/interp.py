@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -137,7 +138,7 @@ def _linear_gather_1ch(spatial: tuple, dtype_name: str):
     def fwd(vol_flat, *loc_dims):
         return gather(vol_flat, *loc_dims), (vol_flat, loc_dims)
 
-    def bwd(res, g):
+    def _bwd_narrow(res, g):
         vol_flat, loc_dims = res
         w0, w1, lin0 = _weights(loc_dims)
         # clip passes gradient at the boundary value itself (lax.max/min
@@ -162,6 +163,51 @@ def _linear_gather_1ch(spatial: tuple, dtype_name: str):
                 dloc[d] = dloc[d] + (term if bits[d] else -term)
         dloc = [dl * mk for dl, mk in zip(dloc, mask)]
         return (dvol.astype(vol_flat.dtype), *dloc)
+
+    def _bwd_wide(res, g):
+        """Corner-table backward: the narrow variant issues 2^N single-value
+        gathers (for d/dloc) and 2^N single-value scatter-adds (for d/dvol)
+        per voxel — each a separate 4-byte-row memory transaction stream.
+        This variant reuses the forward's insight in reverse: ONE gather
+        from the (V, 2^N) corner table for all corner values, and ONE
+        2^N-wide scatter-add whose columns are rolled back into place, so
+        every transaction moves a full row. Mathematically identical
+        (scatter into column c at row r == scatter into r + off_c after the
+        roll; wrapped rows carry zero weights)."""
+        vol_flat, loc_dims = res
+        w0, w1, lin0 = _weights(loc_dims)
+        mask = [((l >= 0) & (l <= m)).astype(g.dtype)
+                for l, m in zip(loc_dims, max_loc)]
+        acc_dtype = jnp.promote_types(vol_flat.dtype, g.dtype)
+        table = jnp.concatenate(
+            [jnp.roll(vol_flat, -off)[:, None] for off in offsets], axis=-1)
+        corner_vals = jnp.take(table, lin0, axis=0)  # (M, 2^N)
+        dloc = [jnp.zeros_like(g) for _ in range(nd)]
+        col_grads = []
+        for ci, bits in enumerate(corner_bits):
+            w_c = _corner_w(w0, w1, bits)
+            col_grads.append((g * w_c).astype(acc_dtype))
+            gv = g * corner_vals[:, ci]
+            for d in range(nd):
+                others = [w1[dd] if bb else w0[dd]
+                          for dd, bb in enumerate(bits) if dd != d]
+                w_oth = (functools.reduce(jnp.multiply, others)
+                         if others else jnp.ones_like(g))
+                term = gv * w_oth
+                dloc[d] = dloc[d] + (term if bits[d] else -term)
+        sc = jnp.zeros((V, ncorners), acc_dtype)
+        sc = sc.at[lin0].add(jnp.stack(col_grads, axis=-1))
+        dvol = functools.reduce(jnp.add, [
+            jnp.roll(sc[:, ci], offsets[ci]) for ci in range(ncorners)])
+        dloc = [dl * mk for dl, mk in zip(dloc, mask)]
+        return (dvol.astype(vol_flat.dtype), *dloc)
+
+    def bwd(res, g):
+        # trace-time selection; flip with VXM_GATHER_BWD=narrow if the wide
+        # table layout ever misbehaves on a new toolchain
+        if os.environ.get("VXM_GATHER_BWD", "wide") == "narrow":
+            return _bwd_narrow(res, g)
+        return _bwd_wide(res, g)
 
     gather.defvjp(fwd, bwd)
     return gather
