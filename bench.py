@@ -422,6 +422,36 @@ def measure_vecint_ab(iters=10, warmup=2):
             traffic = voxels * 4 * nch * (1 + 8 + 8 + 8 + 1)
             out["selfwarp_gather_gbps_est"] = round(traffic / t / 1e9, 1)
 
+        # full-resolution single-channel bounded warp (the phase-warp unit
+        # of work): at 160x192x224 the kernel grid is large enough to hide
+        # per-window DMA latency, so this — not the half-res 3-channel
+        # self-warp above — is the bandwidth-representative measurement
+        if pallas_interp.kernel_vmem_fits(INSHAPE, 1, 1):
+            img = jnp.asarray(
+                np.random.default_rng(2).standard_normal(
+                    (*INSHAPE, 1)).astype(np.float32))
+            sh = jnp.asarray(
+                0.9 * np.random.default_rng(3).standard_normal(
+                    (*INSHAPE, 3)).astype(np.float32))
+
+            @jax.jit
+            def warp_full_pallas(im, s):
+                r = pallas_interp.warp_bounded(im, s, 1)
+                return jnp.sum(r[::64, ::64, ::64]).astype(jnp.float32)
+
+            try:
+                m, mn, sd = _timed_chain_stats(warp_full_pallas, img, sh,
+                                               iters=iters, warmup=warmup)
+                out["fullres_warp_pallas_ms"] = round(m * 1e3, 3)
+                out["fullres_warp_pallas_ms_min"] = round(mn * 1e3, 3)
+                out["fullres_warp_pallas_ms_std"] = round(sd * 1e3, 3)
+                vox = float(np.prod(INSHAPE))
+                traffic = vox * 4 * (1 * 2 + 3)  # img in+out, 3 shift fields
+                out["fullres_warp_pallas_gbps"] = round(
+                    traffic / mn / 1e9, 1)
+            except Exception as e:
+                out["fullres_warp_pallas_ms"] = _short_err(e)
+
 
 def measure_cpu_baseline():
     """One-off helper to (re)estimate the CPU baseline. Not run by default."""
