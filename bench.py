@@ -203,20 +203,21 @@ def _timed_chain_stats(fn, *args, iters=8, warmup=2, repeats=3):
 
 
 def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
-                      iters=8, warmup=2, fast_warp=True):
+                      iters=8, warmup=2, fast_warp=False):
     """Registration forward throughput sweep. Updates RESULT in place.
 
-    bf16 holds the headline (best has been bs4-bf16 every round). The
-    headline path runs with the phase warp enabled (fast_warp=True: the
-    final full-res warp as 2^3 bounded Pallas applications of the
-    integration root instead of one 108 ms corner-table gather —
-    registration.enable_fast_warp); pass fast_warp=False to measure the
-    reference-exact single-gather path (recorded under ``*_exact_warp``
-    keys). bs8 is NOT attempted: its failure is diagnosed and deterministic
-    (XLA OOM, 39.38 GB vs 15.75 GB HBM — BENCH_r03, README), and the two
-    doomed multi-minute compiles starved the train stage out of rounds 2
-    and 3. The f32 sweep is a separate call, gated on remaining wall-clock
-    after the train stage.
+    bf16 holds the headline (best has been bs4-bf16 every round), measured
+    on the reference-exact single-gather warp. fast_warp=True measures the
+    phase-warp path instead (``*_fastwarp`` keys; 2^s bounded Pallas
+    applications of the integration root — registration.enable_fast_warp);
+    the round-4 trial showed 8 halo-2 applications LOSE to the single
+    gather (7.24 vs 8.51 pairs/s), so the fast path is a secondary
+    measurement at phases=2 and the headline takes whichever config wins.
+    bs8 is NOT attempted: its failure is diagnosed and deterministic (XLA
+    OOM, 39.38 GB vs 15.75 GB HBM — BENCH_r03, README), and the two doomed
+    multi-minute compiles starved the train stage out of rounds 2 and 3.
+    The f32 sweep is a separate call, gated on remaining wall-clock after
+    the train stage.
     """
     import jax
     import jax.numpy as jnp
@@ -230,7 +231,7 @@ def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
         model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2,
                          dtype=dtype)
         if fast_warp:
-            model = enable_fast_warp(model)
+            model = enable_fast_warp(model, phases=2)
         params = _init_params_small(
             lambda s: VxmDense(inshape=s, int_steps=7, int_resolution=2,
                                dtype=dtype))
@@ -245,7 +246,7 @@ def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
             mv = jnp.asarray(np.repeat(moving, bs, axis=0))
             fx = jnp.asarray(np.repeat(fixed, bs, axis=0))
             key = (f"infer_bs{bs}_{dtype_name}"
-                   + ("" if fast_warp else "_exact_warp"))
+                   + ("_fastwarp" if fast_warp else ""))
             try:
                 dt = _timed_chain(lambda m, f: reg_probe(params, m, f), mv, fx,
                                   iters=iters, warmup=warmup)
@@ -473,16 +474,16 @@ if __name__ == "__main__":
     detail["infer_bs8"] = ("skipped: diagnosed deterministic XLA OOM "
                            "(39.38G vs 15.75G hbm, BENCH_r03)")
     detail["headline_protocol"] = (
-        "fused register fn (y_source + pos_flow), phase-warp inference path "
-        "(fast_warp_phases=3, halo=2: final warp = 8 bounded Pallas "
-        "applications of the integration root; pos_flow and seg transport "
-        "unchanged); *_exact_warp keys measure the reference-exact "
-        "single-gather path")
+        "fused register fn (y_source + pos_flow), reference-exact "
+        "single-gather warp; *_fastwarp keys measure the phase-warp path "
+        "(2^2 bounded Pallas applications of the integration root; pos_flow "
+        "and seg transport unchanged) — the headline takes the best config")
 
-    # Stage 1 — the headline config ONLY: bs4-bf16 (best every round). The
-    # round-4 trial showed the full bs1/2/4 sweep costs ~10 min of tunneled
-    # compiles and starves the train stage even after it was moved up; the
-    # headline needs one compile, so the sweep's tail moves to stage 4.
+    # Stage 1 — the headline config ONLY: bs4-bf16 exact warp (best every
+    # round). The round-4 trial showed the full bs1/2/4 sweep costs ~10 min
+    # of tunneled compiles and starves the train stage even after it was
+    # moved up; the headline needs one compile, so the sweep's tail moves to
+    # stage 4.
     try:
         measure_inference(batch_sizes=(4,))
     except Exception as e:
@@ -490,12 +491,12 @@ if __name__ == "__main__":
 
     # Stage 2 — train-step throughput. Moved AHEAD of the kernel A/B and the
     # f32 sweep: rounds 2 and 3 both ended with no training number on the
-    # record because this stage ran last. bs2-bf16 first — the config the
-    # mask-backward max-pool was built to enable — then the reference's
-    # default bs1-f32. Each config is a multi-minute cold XLA compile, so
-    # each is gated on remaining wall-clock.
+    # record because this stage ran last. bs1-f32 first — the wide gather
+    # backward cut its warp backwards 4.3x (AB_gather_bwd_r04) so it holds
+    # the deployable number — then bs2-bf16, which sits 253 MB over HBM
+    # with the wide backward's table rebuild (recorded loud if it OOMs).
     best_train = 0.0
-    for dtype_name, bs, min_s in (("bfloat16", 2, 180), ("float32", 1, 240)):
+    for dtype_name, bs, min_s in (("float32", 1, 180), ("bfloat16", 2, 200)):
         key = f"train_step_s_bs{bs}_{'bf16' if dtype_name == 'bfloat16' else 'f32'}"
         if _remaining() < min_s:
             detail[key] = f"skipped: {_remaining():.0f}s left < {min_s}s gate"
@@ -531,9 +532,16 @@ if __name__ == "__main__":
     else:
         detail["mfu"] = f"skipped: {_remaining():.0f}s left"
 
-    # Stage 4 — rest of the bf16 batch sweep (informational: bs 1/2), plus
-    # the reference-exact single-gather warp at the headline batch size (the
-    # A/B that quantifies what the phase warp buys end-to-end).
+    # Stage 4 — the phase-warp path at the headline batch size (the A/B that
+    # quantifies it end-to-end; wins the headline if it beats the gather),
+    # then the rest of the bf16 batch sweep (informational: bs 1/2).
+    if _remaining() > 200:
+        try:
+            measure_inference(batch_sizes=(4,), fast_warp=True)
+        except Exception as e:
+            detail["inference_fastwarp"] = _short_err(e)
+    else:
+        detail["inference_fastwarp"] = f"skipped: {_remaining():.0f}s left"
     if _remaining() > 240:
         try:
             measure_inference(batch_sizes=(1, 2))
@@ -541,13 +549,6 @@ if __name__ == "__main__":
             detail["inference_sweep_small_bs"] = _short_err(e)
     else:
         detail["inference_sweep_small_bs"] = f"skipped: {_remaining():.0f}s left"
-    if _remaining() > 200:
-        try:
-            measure_inference(batch_sizes=(4,), fast_warp=False)
-        except Exception as e:
-            detail["inference_exact_warp"] = _short_err(e)
-    else:
-        detail["inference_exact_warp"] = f"skipped: {_remaining():.0f}s left"
 
     # Stage 5 — f32 inference sweep (informational; bf16 owns the headline).
     if _remaining() > 180:

@@ -297,7 +297,12 @@ class SynthMorphDense(nn.Module):
 
         out["image_1"], out["image_2"] = ima_1, ima_2
         out["map_1"], out["map_2"] = map_1, map_2
-        out["pred_map"] = warp_ops.transform_batched(map_1, out["pos_flow"])
+        # the one-hot is synthesized data: no gradient flows into it (only
+        # into pos_flow). stop_gradient states that to the autodiff system
+        # so the warp backward never builds the d/dvol scatter chain for a
+        # full-res 30-channel volume.
+        out["pred_map"] = warp_ops.transform_batched(
+            jax.lax.stop_gradient(map_1), out["pos_flow"])
         if gt_flow is not None:
             out["gt_flow"] = gt_flow
         return out

@@ -213,6 +213,91 @@ def _linear_gather_1ch(spatial: tuple, dtype_name: str):
     return gather
 
 
+@functools.lru_cache(maxsize=None)
+def _linear_gather_wide(spatial: tuple, nch: int, dtype_name: str):
+    """Channels-first multilinear gather for wide-channel volumes with a
+    low-residual custom VJP.
+
+    Forward: 2^N sequential per-corner gathers from a (C, V) channels-first
+    volume — no corner table (V * 2^N * C would be 26 GB at full res with 30
+    one-hot channels) and no flat channels-minor intermediates (an (M, 30)
+    tensor takes the (8,128) lane tile with 30 padded to 128: 4.3x).
+
+    The custom VJP exists for memory, not speed: autodiff of the per-corner
+    loop saves every corner's (C, M) gather result as a residual for the
+    weight-product backward — measured as ~8 simultaneously-live 900 MB
+    buffers in the full-res SynthMorph train step. This backward recomputes
+    each corner value from the saved volume instead (one extra gather per
+    corner), so residuals are just the volume and the N coordinate vectors.
+    Gradient semantics mirror the narrow/table paths exactly (clip passes
+    gradient at the boundary value, blocks it strictly beyond).
+    """
+    nd = len(spatial)
+    strides = _flatten_strides(spatial)
+    max_loc = [s - 1 for s in spatial]
+    ncorners = 2 ** nd
+    corner_bits = [[(c >> d) & 1 for d in range(nd)] for c in range(ncorners)]
+    offsets = [int(sum(b * s for b, s in zip(bits, strides)))
+               for bits in corner_bits]
+    wdtype = jnp.dtype(dtype_name)
+
+    def _weights(loc_dims):
+        idx0 = [jnp.clip(jnp.floor(l).astype(jnp.int32), 0, m)
+                for l, m in zip(loc_dims, max_loc)]
+        w1 = [jnp.clip(l, 0.0, m) - i.astype(wdtype)
+              for l, m, i in zip(loc_dims, max_loc, idx0)]
+        w0 = [1.0 - w for w in w1]
+        lin0 = functools.reduce(
+            jnp.add, [i * s for i, s in zip(idx0, strides)])
+        return w0, w1, lin0
+
+    def _corner_w(w0, w1, bits):
+        return functools.reduce(
+            jnp.multiply, [w1[d] if b else w0[d] for d, b in enumerate(bits)])
+
+    @jax.custom_vjp
+    def gather(vol_cf, *loc_dims):
+        # vol_cf: (C, V); loc_dims: nd x (M,) -> (C, M)
+        w0, w1, lin0 = _weights(loc_dims)
+        out = None
+        for bits, off in zip(corner_bits, offsets):
+            w_c = _corner_w(w0, w1, bits)
+            corner = jnp.take(vol_cf, lin0 + off, axis=1, mode="clip")
+            term = corner * w_c[None, :]
+            out = term if out is None else out + term
+        return out
+
+    def fwd(vol_cf, *loc_dims):
+        return gather(vol_cf, *loc_dims), (vol_cf, loc_dims)
+
+    def bwd(res, g):
+        vol_cf, loc_dims = res
+        w0, w1, lin0 = _weights(loc_dims)
+        mask = [((l >= 0) & (l <= m)).astype(g.dtype)
+                for l, m in zip(loc_dims, max_loc)]
+        acc_dtype = jnp.promote_types(vol_cf.dtype, g.dtype)
+        dvol = jnp.zeros(vol_cf.shape, acc_dtype)
+        dloc = [jnp.zeros(lin0.shape, g.dtype) for _ in range(nd)]
+        for bits, off in zip(corner_bits, offsets):
+            rows = jnp.clip(lin0 + off, 0, vol_cf.shape[1] - 1)
+            w_c = _corner_w(w0, w1, bits)
+            dvol = dvol.at[:, rows].add((g * w_c[None, :]).astype(acc_dtype))
+            corner = jnp.take(vol_cf, rows, axis=1)  # recompute, (C, M)
+            gv = jnp.sum(g * corner, axis=0)  # (M,) — dloc sums channels
+            for d in range(nd):
+                others = [w1[dd] if bb else w0[dd]
+                          for dd, bb in enumerate(bits) if dd != d]
+                w_oth = (functools.reduce(jnp.multiply, others)
+                         if others else jnp.ones_like(gv))
+                term = gv * w_oth
+                dloc[d] = dloc[d] + (term if bits[d] else -term)
+        dloc = [dl * mk for dl, mk in zip(dloc, mask)]
+        return (dvol.astype(vol_cf.dtype), *dloc)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
 def interpn(
     vol: jnp.ndarray,
     loc: jnp.ndarray,
@@ -306,20 +391,30 @@ def interpn(
             # one-hot maps): the corner table would materialize V * 2^N * C
             # — 26 GB at 160x192x224 x 30 channels (measured compile-time
             # OOM: f32[1,6881280,8,30]). Accumulate per corner instead: 2^N
-            # sequential (M, C) gathers with no table. Rows past the volume
-            # end (upper-edge cells) clamp under jnp.take's clip mode and
-            # carry identically-zero weights, so the clamped garbage never
-            # contributes.
-            out = None
-            for bits, off in zip(corner_bits, offsets):
-                w_c = functools.reduce(
-                    jnp.multiply,
-                    [w1[d] if b else w0[d] for d, b in enumerate(bits)],
-                )  # (M,)
-                corner = jnp.take(vol_flat, lin0 + off, axis=0,
-                                  mode="clip")  # (M, C)
-                term = corner * w_c[:, None]
-                out = term if out is None else out + term
+            # sequential gathers with no table, processed CHANNELS-FIRST —
+            # a flat channels-minor (M, 30) intermediate takes the (8,128)
+            # lane tile with 30 padded to 128 (4.3x; measured as eight live
+            # 3.28 GB buffers in the scanned synth step), while (C, M) rows
+            # tile densely. Rows past the volume end (upper-edge cells)
+            # clamp under take's clip mode and carry identically-zero
+            # weights, so the clamped garbage never contributes.
+            vol_cf = jnp.moveaxis(vol, -1, 0).reshape(nch, -1)  # (C, V)
+            core = _linear_gather_wide(tuple(int(s) for s in spatial),
+                                       int(nch),
+                                       jnp.dtype(compute_dtype).name)
+            out_cf = core(vol_cf, *loc_dims)  # (C, M)
+            if fill_value is not None:
+                valid = functools.reduce(jnp.logical_and, [
+                    (l >= 0) & (l <= m) for l, m in zip(loc_dims, max_loc)
+                ])
+                out_cf = jnp.where(valid[None, :], out_cf,
+                                   jnp.asarray(fill_value, out_cf.dtype))
+            # leave flat-land before transposing: the 1+N-D intermediate
+            # lets XLA place the channel axis off the lane dim
+            out = jnp.moveaxis(out_cf.reshape(nch, *out_shape), 0, -1)
+            if squeeze_channel:
+                out = out[..., 0]
+            return out
         else:
             table = jnp.concatenate(
                 [jnp.roll(vol_flat, -off, axis=0) for off in offsets], axis=-1

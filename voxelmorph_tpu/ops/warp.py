@@ -29,6 +29,16 @@ import jax.numpy as jnp
 _env_halo = os.environ.get("VXM_WINDOW_HALO")
 DEFAULT_WINDOW_HALO = "auto"  # sentinel: resolved by _resolve_halo per trace
 
+# The windowed tiers pad and shift the WHOLE volume per tap — every branch
+# of the lax.switch holds (2h+1)^3-term intermediates of the full volume,
+# and they are compiled (and their buffers largely live) even when the
+# runtime bound picks the gather. For wide-channel volumes (SynthMorph /
+# ProbAtlas one-hot maps: 30ch at full res = 900 MB each) that multiplies a
+# ~1 GB tensor — measured as the dominant allocations in the full-res
+# SynthMorph train-step OOM. Flow fields (3ch) and images (1ch) stay
+# windowed; anything wider takes the gather unconditionally.
+_WINDOWED_MAX_CHANNELS = 4
+
 
 def _resolve_halo(window_halo) -> Optional[int]:
     if window_halo != "auto":
@@ -216,6 +226,7 @@ def transform(
         window_halo is not None
         and interp_method == "linear"
         and fill_value is None
+        and vol.shape[-1] <= _WINDOWED_MAX_CHANNELS
         and tuple(loc_volshape) == tuple(vol.shape[:-1])
     )
     if use_window:
@@ -265,6 +276,7 @@ def transform_batched(
         window_halo is not None
         and interp_method == "linear"
         and fill_value is None
+        and vols.shape[-1] <= _WINDOWED_MAX_CHANNELS
         and shifts.ndim == vols.ndim
         and tuple(shifts.shape[1:-1]) == tuple(vols.shape[1:-1])
     )

@@ -19,7 +19,7 @@ __all__ = ["build_register_fn", "build_register_seg_fn",
            "enable_fast_warp"]
 
 
-def enable_fast_warp(model, phases: int = 3, halo: int = 2):
+def enable_fast_warp(model, phases: int = 2, halo: int = 2):
     """Return a copy of ``model`` with the phase-warp inference path on.
 
     The phase warp replaces the full-resolution corner-table gather (the
@@ -27,9 +27,12 @@ def enable_fast_warp(model, phases: int = 3, halo: int = 2):
     160x192x224, PERF_BREAKDOWN_r04) with 2^phases bounded Pallas warps by
     the integration root — see ``ops.warp.phase_warp_batched``. Sensible
     only for diffeomorphic VxmDense-family models (``int_steps > 0``);
-    anything else passes through unchanged. ``phases=3`` bounds the root of
-    a ~15-voxel flow to ~1.9 voxels, inside the halo-2 fast branch; larger
-    flows fall back to the exact gather at runtime.
+    anything else passes through unchanged. ``phases=2`` bounds the root of
+    a ~8-voxel flow to ~2 voxels, inside the halo-2 fast branch; larger
+    flows fall back to the exact gather at runtime. (phases=3 measured
+    SLOWER than the gather end-to-end — 8 halo-2 kernel applications exceed
+    one gather's cost, BENCH_trial_r04b — so more phases only pay off if
+    the bounded kernel gets faster.)
     """
     if getattr(model, "int_steps", 0) > 0 and hasattr(model, "fast_warp_phases"):
         return model.clone(fast_warp_phases=phases, fast_warp_halo=halo)
