@@ -236,6 +236,29 @@ def make_scanned_cached_pair_step(model, loss_terms: Sequence[LossTerm], tx,
     return jax.jit(multi_step, donate_argnums=(0, 1, 2))
 
 
+# One lax.scan dispatch executes steps_per_dispatch full train steps as a
+# SINGLE device program. On the tunneled v5e worker, a single dispatch that
+# runs for minutes reproducibly kills the worker process ("TPU worker
+# process crashed or restarted") — observed with the full-resolution
+# SynthMorph step (~33 s/step, K=10 -> ~5.5 min dispatches crashed; K=1
+# survived; half-res K=25 at 0.45 s/step and full-res pair-registration
+# K=25 at 1.6 s/step both run for hours). Voxel count is the best static
+# proxy for step time we have at call time, so warn when volume * K is in
+# the measured danger zone. Per-step dispatch overhead is ~28 ms, i.e.
+# irrelevant exactly when steps are long enough to be dangerous.
+_DISPATCH_VOXEL_STEPS_WARN = 12 * 860_160 * 25  # ~3x the proven-safe load
+
+
+def _warn_long_dispatch(spatial, steps_per_dispatch: int, log_fn) -> None:
+    voxels = int(np.prod(spatial))
+    if voxels * steps_per_dispatch > _DISPATCH_VOXEL_STEPS_WARN:
+        log_fn(
+            f"WARNING: {steps_per_dispatch} steps/dispatch on a {voxels}-voxel "
+            "volume puts minutes of compute in one device program — known to "
+            "crash the tunneled TPU worker (see training.py note). Use "
+            "--steps-per-dispatch 1 for large volumes.")
+
+
 def find_latest_checkpoint(model_dir: str):
     """Return (path, epoch) of the newest numbered checkpoint, or (None, 0).
 
@@ -687,6 +710,7 @@ class Trainer:
         steps_per_dispatch = steps_per_dispatch or steps_per_epoch
         assert steps_per_epoch % steps_per_dispatch == 0, (
             "steps_per_epoch must be a multiple of steps_per_dispatch")
+        _warn_long_dispatch(label_maps[0].shape, steps_per_dispatch, log_fn)
         data = jnp.asarray(np.stack(label_maps)[..., None].astype(np.int32))
         nd = data.ndim - 2
         if self.params is None:
@@ -769,6 +793,7 @@ class Trainer:
         steps_per_dispatch = steps_per_dispatch or steps_per_epoch
         assert steps_per_epoch % steps_per_dispatch == 0, (
             "steps_per_epoch must be a multiple of steps_per_dispatch")
+        _warn_long_dispatch(np.shape(data)[1:-1], steps_per_dispatch, log_fn)
         data = jnp.asarray(data, jnp.float32)
         atlas_dev = ()
         if atlas is not None:
