@@ -52,8 +52,6 @@ def main(argv=None):
     if not isinstance(labels, np.ndarray):  # npz archive (reference format)
         labels = labels["labels"]
     pairs = vxm.py.utils.read_pair_list(args.pairs)
-    model, params = resolve_registration_model(*load_model(args.model))
-    register = build_eval_register_fn(model, hyper=args.hyper)
 
     # upload every unique volume ONCE so the timed loop measures deployable
     # on-device latency, not per-pair host->device streaming (pairs share
@@ -66,6 +64,14 @@ def main(argv=None):
             jax.device_put(jnp.asarray(data["vol"], jnp.float32)[None, ..., None]),
             jax.device_put(jnp.asarray(data["seg"], jnp.float32)[None, ..., None]),
         )
+
+    # resolve at the EVAL resolution: the convolutional nets are
+    # resolution-agnostic, so half-res-trained checkpoints (SynthMorph,
+    # HyperMorph populations) evaluate at the canonical resolution
+    eval_shape = host[pairs[0][0]]["vol"].shape
+    model, params = resolve_registration_model(
+        *load_model(args.model), inshape=eval_shape)
+    register = build_eval_register_fn(model, hyper=args.hyper)
 
     reg_times, dice_reg, dice_id, folds = [], [], [], []
     per_label = []  # (n_pairs, n_labels) Dice matrix

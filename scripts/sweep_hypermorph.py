@@ -45,7 +45,13 @@ def main(argv=None):
     if not isinstance(labels, np.ndarray):
         labels = labels["labels"]
     pairs = vxm.py.utils.read_pair_list(args.pairs)
-    model, params = load_model(args.model)
+    # re-target the (fully convolutional) net to the eval resolution, so a
+    # checkpoint amortized on the half-res population sweeps at the
+    # canonical 160x192x224 (same mechanism as run_quality_eval)
+    from voxelmorph_tpu.registration import resolve_registration_model
+    eval_shape = np.load(pairs[0][0])["vol"].shape
+    model, params = resolve_registration_model(
+        *load_model(args.model), inshape=eval_shape)
 
     @jax.jit
     def register(params, hyp, mv, fx, ms):

@@ -39,21 +39,32 @@ def enable_fast_warp(model, phases: int = 2, halo: int = 2):
     return model
 
 
-def resolve_registration_model(model, params):
+def resolve_registration_model(model, params, inshape=None):
     """Map any loadable checkpoint to a net that registers *images*.
 
     SynthMorphDense checkpoints carry the synthesis wrapper around the
     registration net — deployment uses the inner VxmDense only (the
     reference ships just those weights, scripts/tf/train_synthmorph.py:149).
     Every other model class registers images directly and passes through.
+
+    ``inshape``, when given, re-targets the resolved net to that volume
+    resolution: the VxmDense family is fully convolutional (``inshape``
+    only sizes the static svf/integration rescale grids), so a checkpoint
+    trained at one resolution evaluates at another with the same params —
+    e.g. SynthMorph nets trained on the half-res synthesized population
+    deployed on canonical 160x192x224 scans.
     """
     name = type(model).__name__
     if name == "SynthMorphDense":
         from .models.synthmorph import registration_model
-        return registration_model(model, params)
-    if name in ("VxmDenseSemiSupervisedSeg", "VxmDenseSemiSupervisedPointCloud"):
+        model, params = registration_model(model, params)
+    elif name in ("VxmDenseSemiSupervisedSeg", "VxmDenseSemiSupervisedPointCloud"):
         from .models.vxm import registration_model
-        return registration_model(model, params)
+        model, params = registration_model(model, params)
+    if (inshape is not None
+            and type(model).__name__ in ("VxmDense", "HyperVxmDense")
+            and tuple(model.inshape) != tuple(inshape)):
+        model = model.clone(inshape=tuple(inshape))
     return model, params
 
 
