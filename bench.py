@@ -496,7 +496,8 @@ if __name__ == "__main__":
     # the deployable number — then bs2-bf16, which sits 253 MB over HBM
     # with the wide backward's table rebuild (recorded loud if it OOMs).
     best_train = 0.0
-    for dtype_name, bs, min_s in (("float32", 1, 180), ("bfloat16", 2, 200)):
+    for dtype_name, bs, min_s in (("float32", 1, 180), ("bfloat16", 2, 200),
+                                  ("bfloat16", 1, 160)):
         key = f"train_step_s_bs{bs}_{'bf16' if dtype_name == 'bfloat16' else 'f32'}"
         if _remaining() < min_s:
             detail[key] = f"skipped: {_remaining():.0f}s left < {min_s}s gate"

@@ -141,8 +141,19 @@ def _pick_tz(spatial, nch: int, halo: int, mode: str):
         if tz > d:
             continue
         if _footprint(spatial, nch, halo, tz, mode) <= _VMEM_BUDGET[mode]:
-            return tz
-    return None
+            break
+    else:
+        return None
+    # Measured override (AB_tz_sweep_r04.json): at the canonical full
+    # resolution the analytic model is too conservative and forces tz=1,
+    # but tz=2 compiles (scoped < 16M on v5e) and runs 5-32% faster
+    # (h1: 6.10->5.82 ms, h2: 8.87->6.70 ms); tz>=4 exceeds the scoped
+    # limit. Scoped strictly to the measured regime: forward kernel,
+    # few-channel, halo<=2, plane size at/above the canonical 192x224.
+    if (mode == "fwd" and tz == 1 and halo <= 2 and nch <= 4 and d >= 2
+            and 192 * 224 <= int(spatial[1]) * int(spatial[2]) <= 256 * 256):
+        tz = 2
+    return tz
 
 
 def kernel_vmem_fits(spatial, nch: int, halo: int, mode: str = "fwd") -> bool:
