@@ -67,6 +67,13 @@ def _remaining():
     return DEADLINE_S - (time.monotonic() - T0)
 
 
+def _log(msg):
+    """Stage-boundary timestamp on stderr (stdout carries only the JSON
+    line). When a run burns its deadline, this names the stage that ate it."""
+    print(f"[bench +{time.monotonic() - T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _emit(partial=False):
     """Print the one JSON line (at most once) and flush."""
     if not _EMITTED.acquire(blocking=False):
@@ -247,6 +254,7 @@ def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
             fx = jnp.asarray(np.repeat(fixed, bs, axis=0))
             key = (f"infer_bs{bs}_{dtype_name}"
                    + ("_fastwarp" if fast_warp else ""))
+            _log(f"measuring {key}")
             try:
                 dt = _timed_chain(lambda m, f: reg_probe(params, m, f), mv, fx,
                                   iters=iters, warmup=warmup)
@@ -468,6 +476,7 @@ if __name__ == "__main__":
         measure_cpu_baseline()
         sys.exit(0)
     threading.Thread(target=_watchdog, daemon=True).start()
+    _log(f"starting, deadline {DEADLINE_S:.0f}s")
     _enable_compile_cache()
 
     detail = RESULT["detail"]
@@ -502,6 +511,7 @@ if __name__ == "__main__":
         if _remaining() < min_s:
             detail[key] = f"skipped: {_remaining():.0f}s left < {min_s}s gate"
             continue
+        _log(f"measuring {key}")
         try:
             step_s = measure_train_step(dtype_name=dtype_name, batch_size=bs)
             detail[key] = round(step_s, 3)
@@ -517,6 +527,7 @@ if __name__ == "__main__":
     # min-of-N stats so regressions are distinguishable from tunnel noise).
     if _remaining() > 90:
         try:
+            _log("stage 3: vecint/kernel A/B")
             measure_vecint_ab()
         except Exception as e:
             detail["vecint_ab"] = _short_err(e)
@@ -527,6 +538,7 @@ if __name__ == "__main__":
     # when the persistent compile cache is warm).
     if _remaining() > 150:
         try:
+            _log("stage 3b: MFU cost analysis")
             measure_mfu()
         except Exception as e:
             detail["mfu"] = _short_err(e)
