@@ -473,6 +473,41 @@ def test_semisupervised_registration_extraction(tmp_path):
     assert out["pos_flow"].shape == (1, *SHAPE, len(SHAPE))
 
 
+def test_resolution_override_retargets_checkpoint(tmp_path):
+    """A checkpoint trained at one resolution evaluates at another: the
+    VxmDense family is fully convolutional (inshape only sizes the static
+    svf/integration rescale grids), so resolve_registration_model(inshape=)
+    clones the net to the eval shape with the SAME params. Unblocks
+    canonical-resolution evaluation of half-res-trained SynthMorph /
+    HyperMorph populations (VERDICT r3 items 3-4)."""
+    from voxelmorph_tpu.models import VxmDense, save_model, load_model
+    from voxelmorph_tpu.registration import resolve_registration_model
+
+    model = VxmDense(inshape=SHAPE, nb_unet_features=[[4], [4, 4]],
+                     int_steps=2, int_resolution=2)
+    src = RNG.random((1, *SHAPE, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), src, src)["params"]
+    path = str(tmp_path / "vxm.npz")
+    save_model(path, model, jax.device_get(params))
+
+    big = tuple(2 * s for s in SHAPE)
+    net, net_params = resolve_registration_model(*load_model(path),
+                                                 inshape=big)
+    assert tuple(net.inshape) == big
+    # params pass through untouched — same pytree, same values
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(net_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mov = RNG.random((1, *big, 1)).astype(np.float32)
+    out = net.apply({"params": net_params}, mov, mov, train=False)
+    assert out["pos_flow"].shape == (1, *big, len(big))
+    assert out["y_source"].shape == (1, *big, 1)
+    assert np.isfinite(np.asarray(out["y_source"])).all()
+    # matching shape: no clone, identical object semantics
+    same, _ = resolve_registration_model(*load_model(path), inshape=SHAPE)
+    assert tuple(same.inshape) == SHAPE
+
+
 def test_scanned_cached_label_fit_matches_per_step(tmp_path):
     """The lax.scan multi-step dispatch (fit_cached_labels) must reproduce
     the per-step device_cached_label_generator path exactly: same sample
