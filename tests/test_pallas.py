@@ -115,3 +115,20 @@ def test_kernel_vmem_eligibility():
     assert kernel_vmem_fits((160, 192, 224), 1, 2)     # phase-warp config
     assert not kernel_vmem_fits((160, 192, 224), 1, 1, mode="both")
     assert not kernel_vmem_fits((8, 8), 1, 1)          # 3-D only
+
+
+def test_pallas_warp_bf16_window_close_to_f32():
+    """VXM_PALLAS_BF16_WIN stores the windowed volume bf16 (halving the
+    kernel's dominant HBM term); taps widen back to f32 in-kernel, so the
+    result differs from the f32 path only by the taps' 8-bit mantissa —
+    weights and shift math are untouched."""
+    vol, shift = _case(shape=(8, 10, 12), nch=2, scale=0.9)
+    ref = np.asarray(pallas_interp.warp_bounded(vol, shift, halo=1))
+    os.environ["VXM_PALLAS_BF16_WIN"] = "1"
+    try:
+        got = np.asarray(pallas_interp.warp_bounded(vol, shift, halo=1))
+    finally:
+        del os.environ["VXM_PALLAS_BF16_WIN"]
+    # bf16 has ~3 decimal digits; the trilinear sum averages 8 taps
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    assert np.abs(got - ref).max() > 0.0  # the flag actually changed the path

@@ -71,6 +71,18 @@ __all__ = ["warp_bounded", "pallas_available"]
 _INTERPRET = os.environ.get("VXM_PALLAS_INTERPRET", "0") == "1"
 
 
+def _bf16_window() -> bool:
+    """bf16 forward window operand (VXM_PALLAS_BF16_WIN=1, A/B lab).
+
+    The windowed volume is the kernel's dominant HBM term — at full-res
+    halo=2/tz=2 the overlap makes it ~3x the volume, written once by the
+    XLA window-stack pass and read once by the kernel DMA. Storing it bf16
+    halves those bytes; taps are widened back to f32 in-kernel and the
+    accumulate chain stays f32, so only the 8-bit-smaller tap mantissa is
+    lost (images, not coordinates: the shift/weight math is untouched)."""
+    return os.environ.get("VXM_PALLAS_BF16_WIN", "0") == "1"
+
+
 def pallas_available() -> bool:
     """True when the TPU Pallas backend can run (not on CPU/interpreter)."""
     try:
@@ -264,7 +276,8 @@ def _warp_kernel(h, tz, spatial, nch, ww, win_ref, shift_ref, out_ref):
             b = jnp.zeros((nch, tz, H, ww), jnp.float32)
             for ox in range(-h, h + 1):
                 tap = win_ref[0, 0:nch, pl.ds(ozi, tz),
-                              p + oy:p + oy + H, p + ox:p + ox + ww]
+                              p + oy:p + oy + H,
+                              p + ox:p + ox + ww].astype(jnp.float32)
                 b = b + wxs[ox + h][None] * tap
             a = a + wy[None] * b
         return acc + wz[None] * a
@@ -279,7 +292,8 @@ def _warp_kernel(h, tz, spatial, nch, ww, win_ref, shift_ref, out_ref):
                 # weights once per offset, applied to every channel
                 w = wzy * _tri(dx, float(ox))
                 tap = win_ref[0, 0:nch, pl.ds(ozi, tz),
-                              p + oy:p + oy + H, p + ox:p + ox + ww]
+                              p + oy:p + oy + H,
+                              p + ox:p + ox + ww].astype(jnp.float32)
                 acc = acc + w[None] * tap
         return acc
 
@@ -305,6 +319,8 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
 
     pads3 = [(p, p + (d_pad - D)), (p, p), (p, p + wpad)]
     vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
+    if _bf16_window():
+        vol_p = vol_p.astype(jnp.bfloat16)
     wins = _window_stack(vol_p, tz, p, grid)
     # shifts ride an unwindowed center block: zero-pad to the padded grid
     # only (no halo) — clamped coordinates keep the pad region in range
