@@ -68,34 +68,43 @@ def main():
 
         auto_tz = P._pick_tz(shape, nch, h, "fwd")
         res[f"{tag}_auto_tz"] = auto_tz
+
+        def one(key, tz, env, tol):
+            for k, v in env.items():
+                os.environ[k] = v
+            os.environ["VXM_PALLAS_TZ_FWD"] = str(tz)
+            try:
+                run = jax.jit(lambda v, s: jnp.sum(
+                    P.warp_bounded(v, s, h)[::32, ::32, ::32]))
+                got = jax.jit(lambda v, s: P.warp_bounded(v, s, h))(vol, shift)
+                err = float(jnp.max(jnp.abs(jnp.asarray(got) - ref)))
+                if err > tol:
+                    res[key] = f"WRONG: max|diff|={err:.2e}"
+                    return
+                res[key] = timeit(run, vol, shift)
+                res[key.replace("_ms", "_gbps")] = round(
+                    useful_mb / res[key], 1)
+            except Exception as e:
+                res[key] = f"failed: {type(e).__name__}: {str(e)[:160]}"
+            finally:
+                os.environ.pop("VXM_PALLAS_TZ_FWD", None)
+                for k in env:
+                    os.environ.pop(k, None)
+
         for tz in args.tzs:
-            if tz > D:
-                continue
-            for bf16_win in (False, True):
-                os.environ["VXM_PALLAS_TZ_FWD"] = str(tz)
-                if bf16_win:
-                    os.environ["VXM_PALLAS_BF16_WIN"] = "1"
-                key = f"{tag}_tz{tz}{'_bf16win' if bf16_win else ''}_ms"
-                # bf16 taps: 8-bit mantissa on ~N(0,1) data after an 8-tap
-                # triangle average — gate correctness at 2e-2, not 1e-4
-                tol = 2e-2 if bf16_win else 1e-4
-                try:
-                    run = jax.jit(lambda v, s: jnp.sum(
-                        P.warp_bounded(v, s, h)[::32, ::32, ::32]))
-                    got = jax.jit(
-                        lambda v, s: P.warp_bounded(v, s, h))(vol, shift)
-                    err = float(jnp.max(jnp.abs(jnp.asarray(got) - ref)))
-                    if err > tol:
-                        res[key] = f"WRONG: max|diff|={err:.2e}"
-                        continue
-                    res[key] = timeit(run, vol, shift)
-                    res[key.replace("_ms", "_gbps")] = round(
-                        useful_mb / res[key], 1)
-                except Exception as e:
-                    res[key] = f"failed: {type(e).__name__}: {str(e)[:160]}"
-                finally:
-                    os.environ.pop("VXM_PALLAS_TZ_FWD", None)
-                    os.environ.pop("VXM_PALLAS_BF16_WIN", None)
+            if tz <= D:
+                one(f"{tag}_tz{tz}_ms", tz, {}, 1e-4)
+        # bf16 operand variants at the auto tz (each kernel compile costs
+        # tunnel minutes — probe the dtype axis at one slab size only).
+        # bf16 taps/coords: 8-bit mantissa, gate correctness at 2e-2
+        bt = auto_tz or 1
+        one(f"{tag}_tz{bt}_bf16win_ms", bt,
+            {"VXM_PALLAS_BF16_WIN": "1"}, 2e-2)
+        one(f"{tag}_tz{bt}_bf16shift_ms", bt,
+            {"VXM_PALLAS_BF16_SHIFT": "1"}, 2e-2)
+        one(f"{tag}_tz{bt}_bf16both_ms", bt,
+            {"VXM_PALLAS_BF16_WIN": "1", "VXM_PALLAS_BF16_SHIFT": "1"},
+            4e-2)
 
     for h in args.halos:
         probe(f"half_h{h}_nch3", (80, 96, 112), 3, h)

@@ -132,3 +132,19 @@ def test_pallas_warp_bf16_window_close_to_f32():
     # bf16 has ~3 decimal digits; the trilinear sum averages 8 taps
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
     assert np.abs(got - ref).max() > 0.0  # the flag actually changed the path
+
+
+def test_pallas_warp_bf16_shift_close_to_f32():
+    """VXM_PALLAS_BF16_SHIFT stores the displacement components bf16
+    (~75% of kernel input bytes in the 1-channel full-res phase warp);
+    coordinate error is bounded by bf16 rounding of |shift|<=h, <0.01
+    voxel at h<=2, and weight math runs f32 on the widened values."""
+    vol, shift = _case(shape=(8, 10, 12), nch=2, scale=1.9)
+    ref = np.asarray(pallas_interp.warp_bounded(vol, shift, halo=2))
+    os.environ["VXM_PALLAS_BF16_SHIFT"] = "1"
+    try:
+        got = np.asarray(pallas_interp.warp_bounded(vol, shift, halo=2))
+    finally:
+        del os.environ["VXM_PALLAS_BF16_SHIFT"]
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+    assert np.abs(got - ref).max() > 0.0

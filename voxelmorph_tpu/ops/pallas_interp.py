@@ -83,6 +83,18 @@ def _bf16_window() -> bool:
     return os.environ.get("VXM_PALLAS_BF16_WIN", "0") == "1"
 
 
+def _bf16_shift() -> bool:
+    """bf16 forward shift operand (VXM_PALLAS_BF16_SHIFT=1, A/B lab).
+
+    In the single-channel full-res phase-warp the 3 displacement components
+    are ~75% of the kernel's input bytes. bf16 storage halves them at a
+    bounded coordinate cost: |shift| <= halo <= 2, so the bf16 rounding
+    error is < 2^-8 of 2 = ~0.008 voxel, i.e. <1% of a trilinear weight —
+    noise relative to the model's own flow error. Weight math runs f32 on
+    the widened values."""
+    return os.environ.get("VXM_PALLAS_BF16_SHIFT", "0") == "1"
+
+
 def pallas_available() -> bool:
     """True when the TPU Pallas backend can run (not on CPU/interpreter)."""
     try:
@@ -239,12 +251,13 @@ def _warp_kernel(h, tz, spatial, nch, ww, win_ref, shift_ref, out_ref):
     # |d_eff| <= h everywhere given the caller's |shift| <= h guard
     fiota = lambda d: jax.lax.broadcasted_iota(
         jnp.int32, (tz, H, ww), d).astype(jnp.float32)
+    sref = lambda a: shift_ref[a].astype(jnp.float32)
     z_base = (i * tz).astype(jnp.float32) + fiota(0)
-    dz = jnp.clip(z_base + shift_ref[0], 0.0, D - 1.0) - z_base
+    dz = jnp.clip(z_base + sref(0), 0.0, D - 1.0) - z_base
     y_base = fiota(1)
-    dy = jnp.clip(y_base + shift_ref[1], 0.0, H - 1.0) - y_base
+    dy = jnp.clip(y_base + sref(1), 0.0, H - 1.0) - y_base
     x_base = fiota(2)
-    dx = jnp.clip(x_base + shift_ref[2], 0.0, W - 1.0) - x_base
+    dx = jnp.clip(x_base + sref(2), 0.0, W - 1.0) - x_base
 
     # The y/x offsets are statically unrolled into vector shifts (dynamic
     # lane/sublane-start slices measured ~100x slower on Mosaic), but the z
@@ -326,6 +339,8 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
     # only (no halo) — clamped coordinates keep the pad region in range
     s_c = jnp.stack([jnp.pad(s, [(0, d_pad - D), (0, 0), (0, wpad)])
                      for s in (sz, sy, sx)], 0)
+    if _bf16_shift():
+        s_c = s_c.astype(jnp.bfloat16)
 
     kernel = functools.partial(_warp_kernel, h, tz, (D, H, W), nch, ww)
     out = pl.pallas_call(
