@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--tzs", type=int, nargs="+", default=[2, 4, 8, 16])
     ap.add_argument("--fullres", action="store_true",
                     help="also probe (160,192,224) nch=1")
+    ap.add_argument("--th-configs", type=lambda s: [
+        tuple(int(x) for x in c.split(":")) for c in s.split(",")],
+        default=[(4, 96), (8, 96), (8, 48), (16, 48)],
+        help="2-D grid (tz:th) combos, comma-separated (e.g. 4:96,8:48)")
     args = ap.parse_args()
 
     import jax
@@ -105,6 +109,14 @@ def main():
         one(f"{tag}_tz{bt}_bf16both_ms", bt,
             {"VXM_PALLAS_BF16_WIN": "1", "VXM_PALLAS_BF16_SHIFT": "1"},
             4e-2)
+        # 2-D (z, y) grid: y-tiling shrinks the window so tz can grow,
+        # cutting the window materialization's (tz+2p)/tz read
+        # amplification — the dominant HBM term at full res (tz<=2 there
+        # with full-H blocks). Probe a tz ladder at two y-tiles.
+        for tz, tht in args.th_configs:
+            if tz <= D and tht < shape[1]:
+                one(f"{tag}_tz{tz}_th{tht}_ms", tz,
+                    {"VXM_PALLAS_TH_FWD": str(tht)}, 1e-4)
 
     for h in args.halos:
         probe(f"half_h{h}_nch3", (80, 96, 112), 3, h)

@@ -148,3 +148,19 @@ def test_pallas_warp_bf16_shift_close_to_f32():
         del os.environ["VXM_PALLAS_BF16_SHIFT"]
     np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
     assert np.abs(got - ref).max() > 0.0
+
+
+def test_pallas_warp_2d_grid_matches_1d():
+    """VXM_PALLAS_TH_FWD tiles H onto a 2-D (z, y) kernel grid; results
+    must be identical to the production 1-D-grid kernel, including
+    non-divisible tz/th edge slabs."""
+    vol, shift = _case(shape=(10, 13, 14), nch=2, scale=1.9)
+    ref = np.asarray(pallas_interp.warp_bounded(vol, shift, halo=2))
+    os.environ["VXM_PALLAS_TH_FWD"] = "5"   # 13 = 2*5 + 3 (partial tile)
+    os.environ["VXM_PALLAS_TZ_FWD"] = "4"   # 10 = 2*4 + 2 (partial slab)
+    try:
+        got = np.asarray(pallas_interp.warp_bounded(vol, shift, halo=2))
+    finally:
+        del os.environ["VXM_PALLAS_TH_FWD"]
+        del os.environ["VXM_PALLAS_TZ_FWD"]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

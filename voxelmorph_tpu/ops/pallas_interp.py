@@ -211,6 +211,34 @@ def _window_stack(arr, tz: int, p: int, grid: int):
         for i in range(grid)], 0)
 
 
+def _window_stack2(arr, tz: int, th: int, p: int, gz: int, gy: int):
+    """(C, d_pad + 2p, h_pad + 2p, Wp) -> (gz*gy, C, tz+2p, th+2p, Wp)
+    overlapping (z, y) windows, stacked in (zi, yi) row-major order to match
+    the 2-D grid's flattened index map i*gy + j."""
+    rows = []
+    for zi in range(gz):
+        zs = jax.lax.dynamic_slice_in_dim(arr, zi * tz, tz + 2 * p, axis=1)
+        for yi in range(gy):
+            rows.append(jax.lax.dynamic_slice_in_dim(
+                zs, yi * th, th + 2 * p, axis=2))
+    return jnp.stack(rows, 0)
+
+
+def _pick_th(H: int):
+    """Optional y-tile for the forward kernel (VXM_PALLAS_TH_FWD, A/B lab).
+
+    None (default) keeps the v4 single-block-H layout. A y-tile th < H puts
+    the kernel on a 2-D (z, y) grid: window VMEM shrinks by ~H/th, letting
+    the z-slab tz grow within the same scoped budget, which cuts the window
+    materialization's read amplification (tz+2p)/tz — the dominant HBM term
+    at full resolution, where scoped VMEM forces tz<=2 with full-H blocks."""
+    env = os.environ.get("VXM_PALLAS_TH_FWD")
+    if not env:
+        return None
+    th = int(env)
+    return th if 0 < th < H else None
+
+
 def _tri(d, o):
     return jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
 
@@ -317,12 +345,106 @@ def _warp_kernel(h, tz, spatial, nch, ww, win_ref, shift_ref, out_ref):
     out_ref[...] = acc
 
 
+def _warp_kernel_2d(h, tz, th, spatial, nch, ww,
+                    win_ref, shift_ref, out_ref):
+    """2-D (z, y) grid variant of ``_warp_kernel`` (VXM_PALLAS_TH_FWD lab).
+
+    win_ref: (1, nch, TZ+2p, TH+2p, WW+2p) edge-padded volume window at
+             flattened stack index i*gy + j.
+    shift_ref / out_ref: (3 | nch, TZ, TH, WW) center blocks at
+             (0, i*TZ, j*TH, 0). Same factored per-axis contraction and
+             fori-over-z liveness bound as the 1-D kernel; only the y base
+             coordinate and the block's y extent differ."""
+    import jax.experimental.pallas as pl
+
+    D, H, W = spatial
+    p = h
+    n_off = 2 * h + 1
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    fiota = lambda d: jax.lax.broadcasted_iota(
+        jnp.int32, (tz, th, ww), d).astype(jnp.float32)
+    sref = lambda a: shift_ref[a].astype(jnp.float32)
+    z_base = (i * tz).astype(jnp.float32) + fiota(0)
+    dz = jnp.clip(z_base + sref(0), 0.0, D - 1.0) - z_base
+    y_base = (j * th).astype(jnp.float32) + fiota(1)
+    dy = jnp.clip(y_base + sref(1), 0.0, H - 1.0) - y_base
+    x_base = fiota(2)
+    dx = jnp.clip(x_base + sref(2), 0.0, W - 1.0) - x_base
+
+    wxs = [_tri(dx, float(ox)) for ox in range(-h, h + 1)]
+
+    def oz_body(ozi, acc):
+        ozf = ozi.astype(jnp.float32) - float(h)
+        wz = _tri(dz, ozf)
+        a = jnp.zeros((nch, tz, th, ww), jnp.float32)
+        for oy in range(-h, h + 1):
+            wy = _tri(dy, float(oy))
+            b = jnp.zeros((nch, tz, th, ww), jnp.float32)
+            for ox in range(-h, h + 1):
+                tap = win_ref[0, 0:nch, pl.ds(ozi, tz),
+                              p + oy:p + oy + th,
+                              p + ox:p + ox + ww].astype(jnp.float32)
+                b = b + wxs[ox + h][None] * tap
+            a = a + wy[None] * b
+        return acc + wz[None] * a
+
+    acc = jax.lax.fori_loop(
+        0, n_off, oz_body, jnp.zeros((nch, tz, th, ww), jnp.float32))
+    out_ref[...] = acc
+
+
+def _warp_fwd_impl_2d(vol_cf, sz, sy, sx, h: int, tz: int, th: int):
+    """2-D-grid forward launcher (A/B lab; see ``_pick_th``)."""
+    import jax.experimental.pallas as pl
+
+    nch, D, H, W = vol_cf.shape
+    p = h
+    gz = (D + tz - 1) // tz
+    gy = (H + th - 1) // th
+    d_pad, h_pad = gz * tz, gy * th
+    wpad = _lane_pad(W, p)
+    ww = W + wpad
+
+    pads3 = [(p, p + (d_pad - D)), (p, p + (h_pad - H)), (p, p + wpad)]
+    vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
+    if _bf16_window():
+        vol_p = vol_p.astype(jnp.bfloat16)
+    wins = _window_stack2(vol_p, tz, th, p, gz, gy)
+    s_c = jnp.stack([
+        jnp.pad(s, [(0, d_pad - D), (0, h_pad - H), (0, wpad)])
+        for s in (sz, sy, sx)], 0)
+    if _bf16_shift():
+        s_c = s_c.astype(jnp.bfloat16)
+
+    kernel = functools.partial(_warp_kernel_2d, h, tz, th, (D, H, W), nch, ww)
+    out = pl.pallas_call(
+        kernel,
+        grid=(gz, gy),
+        in_specs=[
+            pl.BlockSpec((1, nch, tz + 2 * p, th + 2 * p, ww + 2 * p),
+                         lambda i, j, gy=gy: (i * gy + j, 0, 0, 0, 0)),
+            pl.BlockSpec((3, tz, th, ww), lambda i, j: (0, i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((nch, tz, th, ww),
+                               lambda i, j: (0, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch, d_pad, h_pad, ww), jnp.float32),
+        interpret=_INTERPRET,
+    )(wins, s_c)
+    return out[:, :D, :H, :W]
+
+
 def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
     """vol_cf: (C, D, H, W) float32; s*: (D, H, W). Returns (C, D, H, W)."""
     import jax.experimental.pallas as pl
 
     nch, D, H, W = vol_cf.shape
     p = h
+    th = _pick_th(H)
+    if th is not None:
+        tz = _pick_tz((D, H, W), nch, h, "fwd") or 1
+        return _warp_fwd_impl_2d(vol_cf, sz, sy, sx, h, tz, th)
     tz = _pick_tz((D, H, W), nch, h, "fwd")
     assert tz is not None, "caller must gate on kernel_vmem_fits"
     grid = (D + tz - 1) // tz
