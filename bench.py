@@ -477,6 +477,26 @@ if __name__ == "__main__":
         sys.exit(0)
     threading.Thread(target=_watchdog, daemon=True).start()
     _log(f"starting, deadline {DEADLINE_S:.0f}s")
+
+    # Tunnel preflight: the axon claim leg dials 127.0.0.1:8082 through the
+    # relay. When the relay is dead, every device call HANGS (not errors) —
+    # a run would burn its entire deadline blocked in C++ with nothing on
+    # the record (observed r04d trial). Refused/timed-out connect -> say so
+    # loudly and exit; a zero-value line with a named cause beats one
+    # without.
+    if os.environ.get("JAX_PLATFORMS", "axon") == "axon":
+        import socket
+        try:
+            socket.create_connection(("127.0.0.1", 8082), timeout=5).close()
+        except OSError as e:
+            RESULT["detail"]["fatal"] = (
+                f"TPU tunnel down: connect 127.0.0.1:8082 -> {e}; "
+                "device calls would hang, not error — aborting before "
+                "burning the deadline")
+            _log(RESULT["detail"]["fatal"])
+            _emit()
+            sys.exit(0)
+
     _enable_compile_cache()
 
     detail = RESULT["detail"]
