@@ -106,6 +106,9 @@ def main(argv=None):
                     f"+ hard Dice over {len(labels)} labels "
                     f"({os.path.basename(args.labels)}); pairs from "
                     f"{args.pairs}; volume resolution {shape_str}",
+        # Dice/fold metrics are device-independent; reg timings are NOT —
+        # only trust pairs_per_s from a TPU-backend run
+        "device": jax.devices()[0].platform,
         "model": os.path.abspath(args.model),
         "n_pairs": len(pairs),
         "n_labels": len(np.asarray(per_label)[0]),
