@@ -118,11 +118,52 @@ def main():
                 one(f"{tag}_tz{tz}_th{tht}_ms", tz,
                     {"VXM_PALLAS_TH_FWD": str(tht)}, 1e-4)
 
+    def probe_bwd(tag, shape, nch, h):
+        """Time the custom VJP (fwd+bwd chained via jax.grad) for 2-D-grid
+        backward configs. At full res the 1-D bwd kernel does not fit
+        scoped VMEM (full-H windows: 14.4 MB at h=1 nch=1 vs 9 MB budget) —
+        XLA shifted-slice is the incumbent; y-tiling is the challenger."""
+        D, H, W = shape
+        rng = np.random.default_rng(7)
+        vol = jnp.asarray(
+            rng.standard_normal((D, H, W, nch)).astype(np.float32))
+        shift = jnp.asarray(np.clip(rng.standard_normal(
+            (D, H, W, 3)) * 0.5 * h, -h, h).astype(np.float32))
+
+        def grad_fn():
+            # full-sum objective: a DENSE cotangent (ones), the training
+            # regime — a strided slice would hand the backward a sparse g
+            return jax.jit(jax.grad(
+                lambda v, s: jnp.sum(P.warp_bounded(v, s, h)),
+                argnums=(0, 1)))
+
+        def run(key, env):
+            for k, v in env.items():
+                os.environ[k] = v
+            try:
+                f = grad_fn()
+                res[key] = timeit(lambda v, s: jnp.sum(f(v, s)[1][::64, ::64, ::64]),
+                                  vol, shift)
+            except Exception as e:
+                res[key] = f"failed: {type(e).__name__}: {str(e)[:160]}"
+            finally:
+                for k in env:
+                    os.environ.pop(k, None)
+
+        run(f"{tag}_bwd_xla_ms", {"VXM_PALLAS_BWD": "0"})
+        for tz, tht in args.th_configs:
+            if tz <= D and tht < H:
+                run(f"{tag}_bwd_tz{tz}_th{tht}_ms",
+                    {"VXM_PALLAS_TH_BWD": str(tht),
+                     "VXM_PALLAS_TZ_BWD": str(tz)})
+
     for h in args.halos:
         probe(f"half_h{h}_nch3", (80, 96, 112), 3, h)
     if args.fullres:
         probe("full_h1_nch1", (160, 192, 224), 1, 1)
         probe("full_h2_nch1", (160, 192, 224), 1, 2)
+        probe_bwd("full_h1_nch1", (160, 192, 224), 1, 1)
+        probe_bwd("full_h2_nch1", (160, 192, 224), 1, 2)
 
     print(json.dumps(res))
 

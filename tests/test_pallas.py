@@ -164,3 +164,28 @@ def test_pallas_warp_2d_grid_matches_1d():
         del os.environ["VXM_PALLAS_TH_FWD"]
         del os.environ["VXM_PALLAS_TZ_FWD"]
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bwd_2d_grid_matches_reference():
+    """VXM_PALLAS_TH_BWD tiles the backward onto a 2-D (z, y) grid — the
+    layout that fits scoped VMEM at full resolution. Must reproduce the XLA
+    reference VJP exactly, including partial edge tiles and clamped border
+    voxels."""
+    rng = np.random.default_rng(31)
+    for halo in (1, 2):
+        vol_cf = jnp.asarray(rng.normal(size=(2, 10, 13, 14)).astype(np.float32))
+        shift = jnp.asarray(rng.uniform(
+            -halo, halo, size=(10, 13, 14, 3)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(2, 10, 13, 14)).astype(np.float32))
+        os.environ["VXM_PALLAS_TH_BWD"] = "5"
+        os.environ["VXM_PALLAS_TZ_BWD"] = "4"
+        try:
+            dvol, dshift = pallas_interp._bwd_impl_pallas(vol_cf, shift, g, halo)
+        finally:
+            del os.environ["VXM_PALLAS_TH_BWD"]
+            del os.environ["VXM_PALLAS_TZ_BWD"]
+        dvol_r, dshift_r = pallas_interp._warp_cf_bwd_ref(halo, (vol_cf, shift), g)
+        np.testing.assert_allclose(np.asarray(dvol), np.asarray(dvol_r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dshift), np.asarray(dshift_r),
+                                   rtol=1e-4, atol=1e-4)

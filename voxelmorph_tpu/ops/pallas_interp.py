@@ -224,19 +224,25 @@ def _window_stack2(arr, tz: int, th: int, p: int, gz: int, gy: int):
     return jnp.stack(rows, 0)
 
 
-def _pick_th(H: int):
-    """Optional y-tile for the forward kernel (VXM_PALLAS_TH_FWD, A/B lab).
+def _pick_th(H: int, mode: str = "fwd"):
+    """Optional y-tile (VXM_PALLAS_TH_FWD / VXM_PALLAS_TH_BWD, A/B lab).
 
     None (default) keeps the v4 single-block-H layout. A y-tile th < H puts
     the kernel on a 2-D (z, y) grid: window VMEM shrinks by ~H/th, letting
     the z-slab tz grow within the same scoped budget, which cuts the window
     materialization's read amplification (tz+2p)/tz — the dominant HBM term
-    at full resolution, where scoped VMEM forces tz<=2 with full-H blocks."""
-    env = os.environ.get("VXM_PALLAS_TH_FWD")
+    at full resolution, where scoped VMEM forces tz<=2 with full-H blocks.
+    For the backward it is what makes the kernel fit at full resolution AT
+    ALL (full-H bwd windows need 14.4 MB at h=1 nch=1 vs the 9 MB budget)."""
+    env = os.environ.get(f"VXM_PALLAS_TH_{mode.upper()}")
     if not env:
         return None
     th = int(env)
     return th if 0 < th < H else None
+
+
+def _pick_th_bwd(H: int):
+    return _pick_th(H, "bwd")
 
 
 def _tri(d, o):
@@ -585,11 +591,138 @@ def _bwd_kernel(h, tz, spatial, nch, ww, win_ref, out_ref):
     out_ref[nch + 2] = jnp.where(in_x, dsx, 0.0)
 
 
+def _bwd_kernel_2d(h, tz, th, spatial, nch, ww, win_ref, out_ref):
+    """2-D (z, y) grid variant of ``_bwd_kernel`` (VXM_PALLAS_TH_BWD lab).
+
+    Same packed-window layout and flipped-offset/dshift structure; the
+    block's y extent is th and the y base coordinate comes from
+    program_id(1). y-tiling shrinks the window ~H/th, which is what lets
+    the backward fit scoped VMEM at the canonical full resolution (full-H
+    blocks need 14.4 MB at h=1 nch=1 against the 9 MB budget)."""
+    import jax.experimental.pallas as pl
+
+    D, H, W = spatial
+    p = h
+    n_off = 2 * h + 1
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cg = nch
+    cs = 2 * nch
+
+    iota = lambda d: jax.lax.broadcasted_iota(jnp.int32, (tz, th, ww), d)
+    z0 = (i * tz + iota(0)).astype(jnp.float32)
+    y0 = (j * th + iota(1)).astype(jnp.float32)
+    x0 = iota(2).astype(jnp.float32)
+
+    ctr = lambda c: win_ref[0, c, p:p + tz, p:p + th, p:p + ww]
+    sz0, sy0, sx0 = ctr(cs), ctr(cs + 1), ctr(cs + 2)
+    dz0 = jnp.clip(z0 + sz0, 0.0, D - 1.0) - z0
+    dy0 = jnp.clip(y0 + sy0, 0.0, H - 1.0) - y0
+    dx0 = jnp.clip(x0 + sx0, 0.0, W - 1.0) - x0
+    in_z = ((z0 + sz0) > 0.0) & ((z0 + sz0) < D - 1.0)
+    in_y = ((y0 + sy0) > 0.0) & ((y0 + sy0) < H - 1.0)
+    in_x = ((x0 + sx0) > 0.0) & ((x0 + sx0) < W - 1.0)
+    g0 = win_ref[0, cg:cg + nch, p:p + tz, p:p + th, p:p + ww]
+
+    zeros = lambda: jnp.zeros((tz, th, ww), jnp.float32)
+
+    def oz_body(ozi, carry):
+        dvol, dsz, dsy, dsx = carry
+        ozf = ozi.astype(jnp.float32) - float(h)
+        zs = pl.ds(2 * h - ozi, tz)
+        zq = z0 - ozf
+        for oy in range(-h, h + 1):
+            for ox in range(-h, h + 1):
+                ysl = slice(p - oy, p - oy + th)
+                xsl = slice(p - ox, p - ox + ww)
+                yq = y0 - float(oy)
+                xq = x0 - float(ox)
+                valid = ((zq >= 0.0) & (zq <= D - 1.0) & (yq >= 0.0)
+                         & (yq <= H - 1.0) & (xq >= 0.0) & (xq <= W - 1.0))
+                szq = win_ref[0, cs, zs, ysl, xsl]
+                syq = win_ref[0, cs + 1, zs, ysl, xsl]
+                sxq = win_ref[0, cs + 2, zs, ysl, xsl]
+                dzq = jnp.clip(zq + szq, 0.0, D - 1.0) - zq
+                dyq = jnp.clip(yq + syq, 0.0, H - 1.0) - yq
+                dxq = jnp.clip(xq + sxq, 0.0, W - 1.0) - xq
+                w = jnp.where(valid,
+                              _tri(dzq, ozf) * _tri(dyq, float(oy))
+                              * _tri(dxq, float(ox)), 0.0)
+                dvol = dvol + w[None] * win_ref[0, cg:cg + nch, zs, ysl, xsl]
+
+        zs2 = pl.ds(ozi, tz)
+        wz, dwz = _tri(dz0, ozf), _dtri(dz0, ozf)
+        for oy in range(-h, h + 1):
+            wy, dwy = _tri(dy0, float(oy)), _dtri(dy0, float(oy))
+            for ox in range(-h, h + 1):
+                wx, dwx = _tri(dx0, float(ox)), _dtri(dx0, float(ox))
+                ysl = slice(p + oy, p + oy + th)
+                xsl = slice(p + ox, p + ox + ww)
+                tap = win_ref[0, 0:nch, zs2, ysl, xsl]
+                gv = jnp.sum(g0 * tap, axis=0)
+                dsz = dsz + gv * dwz * wy * wx
+                dsy = dsy + gv * wz * dwy * wx
+                dsx = dsx + gv * wz * wy * dwx
+        return (dvol, dsz, dsy, dsx)
+
+    carry = jax.lax.fori_loop(
+        0, n_off, oz_body,
+        (jnp.zeros((nch, tz, th, ww), jnp.float32), zeros(), zeros(), zeros()))
+    dvol, dsz, dsy, dsx = carry
+
+    out_ref[0:nch] = dvol
+    out_ref[nch] = jnp.where(in_z, dsz, 0.0)
+    out_ref[nch + 1] = jnp.where(in_y, dsy, 0.0)
+    out_ref[nch + 2] = jnp.where(in_x, dsx, 0.0)
+
+
+def _bwd_impl_pallas_2d(vol_cf, shift, g, h: int, tz: int, th: int):
+    """2-D-grid backward launcher (A/B lab; see ``_pick_th``)."""
+    import jax.experimental.pallas as pl
+
+    nch, D, H, W = vol_cf.shape
+    p = h
+    gz = (D + tz - 1) // tz
+    gy = (H + th - 1) // th
+    d_pad, h_pad = gz * tz, gy * th
+    wpad = _lane_pad(W, p)
+    ww = W + wpad
+
+    pads3 = [(p, p + (d_pad - D)), (p, p + (h_pad - H)), (p, p + wpad)]
+    vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
+    g_p = jnp.pad(g, [(0, 0)] + pads3)
+    s_p = jnp.stack([jnp.pad(shift[..., a], pads3) for a in range(3)], 0)
+    wins = _window_stack2(jnp.concatenate([vol_p, g_p, s_p], 0),
+                          tz, th, p, gz, gy)
+
+    kernel = functools.partial(_bwd_kernel_2d, h, tz, th, (D, H, W), nch, ww)
+    out = pl.pallas_call(
+        kernel,
+        grid=(gz, gy),
+        in_specs=[pl.BlockSpec(
+            (1, 2 * nch + 3, tz + 2 * p, th + 2 * p, ww + 2 * p),
+            lambda i, j, gy=gy: (i * gy + j, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((nch + 3, tz, th, ww),
+                               lambda i, j: (0, i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch + 3, d_pad, h_pad, ww),
+                                       jnp.float32),
+        interpret=_INTERPRET,
+    )(wins)
+    out = out[:, :D, :H, :W]
+    dvol = out[:nch]
+    dshift = jnp.moveaxis(out[nch:], 0, -1)
+    return dvol, dshift
+
+
 def _bwd_impl_pallas(vol_cf, shift, g, h: int):
     import jax.experimental.pallas as pl
 
     nch, D, H, W = vol_cf.shape
     p = h
+    th = _pick_th_bwd(H)
+    if th is not None:
+        tz = _pick_tz((D, H, W), nch, h, "bwd") or 1
+        return _bwd_impl_pallas_2d(vol_cf, shift, g, h, tz, th)
     tz = _pick_tz((D, H, W), nch, h, "bwd")
     assert tz is not None, "caller must gate on kernel_vmem_fits"
     grid = (D + tz - 1) // tz
@@ -644,8 +777,10 @@ def _warp_cf_bwd(h, res, g):
     gate (``kernel_vmem_fits`` mode 'fwd') admits those."""
     vol_cf, shift = res
     nch, D, H, W = vol_cf.shape
-    if (os.environ.get("VXM_PALLAS_BWD", "1") == "0"
-            or _pick_tz((D, H, W), nch, h, "bwd") is None):
+    if os.environ.get("VXM_PALLAS_BWD", "1") == "0":
+        return _warp_cf_bwd_ref(h, res, g)
+    if (_pick_tz((D, H, W), nch, h, "bwd") is None
+            and _pick_th_bwd(H) is None):
         return _warp_cf_bwd_ref(h, res, g)
     return _bwd_impl_pallas(vol_cf, shift, g, h)
 
