@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--tzs", type=int, nargs="+", default=[2, 4, 8, 16])
     ap.add_argument("--fullres", action="store_true",
                     help="also probe (160,192,224) nch=1")
+    ap.add_argument("--out", default=None,
+                    help="JSON file updated after EVERY config (timeout-safe)")
     ap.add_argument("--th-configs", type=lambda s: [
         tuple(int(x) for x in c.split(":")) for c in s.split(",")],
         default=[(4, 96), (8, 96), (8, 48), (16, 48)],
@@ -58,6 +60,13 @@ def main():
         return round(best * 1e3, 3)
 
     res = {}
+
+    def checkpoint():
+        """Persist after every config: a timeout mid-sweep (dozens of
+        multi-minute tunnel compiles) keeps everything measured so far."""
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(res, f, indent=1)
 
     def probe(tag, shape, nch, h):
         D, H, W = shape
@@ -94,6 +103,7 @@ def main():
                 os.environ.pop("VXM_PALLAS_TZ_FWD", None)
                 for k in env:
                     os.environ.pop(k, None)
+                checkpoint()
 
         for tz in args.tzs:
             if tz <= D:
@@ -149,8 +159,10 @@ def main():
             finally:
                 for k in env:
                     os.environ.pop(k, None)
+                checkpoint()
 
         run(f"{tag}_bwd_xla_ms", {"VXM_PALLAS_BWD": "0"})
+        run(f"{tag}_bwd_auto_ms", {})  # production dispatch (1-D if it fits)
         for tz, tht in args.th_configs:
             if tz <= D and tht < H:
                 run(f"{tag}_bwd_tz{tz}_th{tht}_ms",
@@ -159,6 +171,7 @@ def main():
 
     for h in args.halos:
         probe(f"half_h{h}_nch3", (80, 96, 112), 3, h)
+        probe_bwd(f"half_h{h}_nch3", (80, 96, 112), 3, h)
     if args.fullres:
         probe("full_h1_nch1", (160, 192, 224), 1, 1)
         probe("full_h2_nch1", (160, 192, 224), 1, 2)

@@ -21,10 +21,11 @@ BENCH_DEADLINE_S=1050 timeout "$T" python bench.py > artifacts_r4/BENCH_trial_r0
 echo "bench rc=$?"; tail -c 500 artifacts_r4/BENCH_trial_r04e.json; echo
 }
 
-T=$(gate pallasab 900) && {
-echo "=== 1b. kernel A/B: half-res nch3 tz sweep + fullres ($T s): $(date) ==="
+T=$(gate pallasab 2700) && {
+echo "=== 1b. kernel A/B: fwd tz/th/bf16 + bwd th sweeps ($T s): $(date) ==="
 timeout "$T" python scripts/pallas_ab.py --fullres \
-  > artifacts_r4/AB_selfwarp_tz_r04.json 2>/tmp/pallas_ab.err
+  --out artifacts_r4/AB_selfwarp_tz_r04.json \
+  > /tmp/pallas_ab.log 2>/tmp/pallas_ab.err
 echo "pallas_ab rc=$?"; tail -c 400 artifacts_r4/AB_selfwarp_tz_r04.json; echo
 }
 
