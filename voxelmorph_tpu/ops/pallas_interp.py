@@ -168,7 +168,7 @@ def _pick_tz(spatial, nch: int, halo: int, mode: str):
             break
     else:
         return None
-    # Measured override (AB_tz_sweep_r04.json): at the canonical full
+    # Measured override (AB_tz_sweep_r04.txt): at the canonical full
     # resolution the analytic model is too conservative and forces tz=1,
     # but tz=2 compiles (scoped < 16M on v5e) and runs 5-32% faster
     # (h1: 6.10->5.82 ms, h2: 8.87->6.70 ms); tz>=4 exceeds the scoped
