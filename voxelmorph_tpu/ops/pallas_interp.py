@@ -197,7 +197,10 @@ def kernel_vmem_fits(spatial, nch: int, halo: int, mode: str = "fwd") -> bool:
     """
     if len(spatial) != 3:
         return False
-    fwd_ok = _pick_tz(spatial, nch, halo, "fwd") is not None
+    # mirror of _warp_fwd_impl's dispatch order: v5 streaming kernel, then
+    # the v4 2-D/1-D window layouts
+    fwd_ok = ((_v5_enabled() and _v5_pick_tz(spatial, nch, halo) is not None)
+              or _pick_tz(spatial, nch, halo, "fwd") is not None)
     if mode == "fwd":
         return fwd_ok
     return fwd_ok and _pick_tz(spatial, nch, halo, "bwd") is not None
@@ -447,6 +450,10 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
 
     nch, D, H, W = vol_cf.shape
     p = h
+    if _v5_enabled():
+        tz5 = _v5_pick_tz((D, H, W), nch, h)
+        if tz5 is not None:
+            return _warp_fwd_impl_v5(vol_cf, sz, sy, sx, h, tz5)
     th = _pick_th(H)
     if th is not None:
         tz = _pick_tz((D, H, W), nch, h, "fwd") or 1
@@ -485,6 +492,432 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
         interpret=_INTERPRET,
     )(wins, s_c)
     return out[:, :D, :, :W]
+
+
+# ------------------------------------------------- v5 streaming forward kernel
+#
+# The v4 layout's end-to-end cost is dominated not by the kernel body but by
+# the HBM passes AROUND it (measured full-res h2: 6.7 ms ~ 75 GB/s actual
+# traffic): the host-side window stack writes+reads (tz+2p)/tz x the volume,
+# the shift components are pad-copied (3 channels = 3x the 1-ch volume!), and
+# the lane-pad forces a crop copy of the output. v5 deletes every one of
+# those passes:
+#
+#   * shift and out ride UNPADDED block specs (tz | D, no lane pad) — ZERO
+#     copies for the largest input term and the output;
+#   * the volume halo window is DMA'd manually (make_async_copy) from an
+#     edge-padded copy in HBM (ANY memory space) into a 2-slot VMEM ring,
+#     double-buffered across grid steps by hand — no window materialization
+#     in HBM at all (the one remaining copy is the p-voxel edge pad of the
+#     volume itself, 1 channel instead of v4's 3-channel shift pad);
+#   * compute runs an inner fori over the tz output planes, so the live
+#     temporaries are PLANE-sized, not slab-sized — which is what frees the
+#     slab to grow to tz=4..16 (v4's slab-sized temporaries forced tz<=2 at
+#     full resolution and made per-step overhead + window amplification
+#     dominate).
+#
+# HBM traffic at full res h=2 tz=8 (1 ch): pad 2V + window DMA 1.25V +
+# shift 3V + out V ~= 7.3V vs v4's ~18V. Taps are read from the VMEM ring at
+# static y/x offsets (lane/sublane rolls) with the same factored per-axis
+# contraction as v4.
+
+
+def _v5_enabled() -> bool:
+    """v5 streaming kernel dispatch (VXM_PALLAS_V5=0 restores v4)."""
+    return os.environ.get("VXM_PALLAS_V5", "1") != "0"
+
+
+# Scoped-VMEM budget for the v5 launcher: explicit ring scratch + Mosaic's
+# double-buffered shift/out blocks + plane-sized temporaries, against the
+# 16 MB hardware stack. Headroom absorbs Mosaic slack.
+_V5_BUDGET = int(13.5 * 1024 * 1024)
+
+
+def _v5_lanes(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _v5_footprint(spatial, nch: int, halo: int, tz: int) -> int:
+    D, H, W = (int(s) for s in spatial)
+    p = halo
+    win_bytes = 4 if not _bf16_window() else 2
+    sh_bytes = 4 if not _bf16_shift() else 2
+    ring = 2 * nch * (tz + 2 * p) * (H + 2 * p) * _v5_lanes(W + 2 * p) * win_bytes
+    shift = 2 * 3 * tz * H * _v5_lanes(W) * sh_bytes
+    out = 2 * nch * tz * H * _v5_lanes(W) * 4
+    # plane-sized live set: acc/a/b (nch each), dz/dy/dx, wxs+wys (2h+1 each),
+    # iota bases and clip temps
+    temps = (3 * nch + 3 + 2 * (2 * halo + 1) + 6) * H * _v5_lanes(W) * 4
+    return ring + shift + out + temps
+
+
+def _v5_pick_tz(spatial, nch: int, halo: int):
+    """Largest tz dividing D whose v5 footprint fits; None -> v4/XLA path."""
+    D = int(spatial[0])
+    env = os.environ.get("VXM_PALLAS_V5_TZ")
+    if env:
+        tz = int(env)
+        return tz if tz > 0 and D % tz == 0 else None
+    for tz in (16, 8, 4, 2, 1):
+        if D % tz == 0 and _v5_footprint(spatial, nch, halo, tz) <= _V5_BUDGET:
+            return tz
+    return None
+
+
+def _v5_kernel(h, tz, spatial, nch, grid, vol_hbm, shift_ref, out_ref,
+               win, sem):
+    """One z-slab, v5: manual double-buffered window DMA + per-plane compute.
+
+    vol_hbm: (nch, D+2p, H+2p, W+2p) edge-padded volume, ANY (HBM) space.
+    shift_ref: (3, TZ, H, W) center block (zero-copy — tz | D, no lane pad).
+    out_ref: (nch, TZ, H, W) center block (zero-copy).
+    win: (2, nch, TZ+2p, H+2p, W+2p) VMEM ring; sem: 2 DMA semaphores.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, H, W = spatial
+    p = h
+    i = pl.program_id(0)
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            vol_hbm.at[:, pl.ds(step * tz, tz + 2 * p)],
+            win.at[slot], sem.at[slot])
+
+    # step 0 fills its own slot; every step prefetches the next window into
+    # the other slot before waiting on its own — classic 2-slot pipeline.
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < grid)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    slot = i % 2
+
+    fiota = lambda d: jax.lax.broadcasted_iota(
+        jnp.int32, (H, W), d).astype(jnp.float32)
+    y0 = fiota(0)
+    x0 = fiota(1)
+
+    def plane(zi, carry):
+        sz = shift_ref[0, zi].astype(jnp.float32)
+        sy = shift_ref[1, zi].astype(jnp.float32)
+        sx = shift_ref[2, zi].astype(jnp.float32)
+        zf = (i * tz + zi).astype(jnp.float32)
+        dz = jnp.clip(zf + sz, 0.0, D - 1.0) - zf
+        dy = jnp.clip(y0 + sy, 0.0, H - 1.0) - y0
+        dx = jnp.clip(x0 + sx, 0.0, W - 1.0) - x0
+        wxs = [_tri(dx, float(ox)) for ox in range(-h, h + 1)]
+        wys = [_tri(dy, float(oy)) for oy in range(-h, h + 1)]
+        acc = jnp.zeros((nch, H, W), jnp.float32)
+        for oz in range(2 * h + 1):
+            wz = _tri(dz, float(oz - h))
+            a = jnp.zeros((nch, H, W), jnp.float32)
+            for oy in range(2 * h + 1):
+                b = jnp.zeros((nch, H, W), jnp.float32)
+                for ox in range(2 * h + 1):
+                    tap = win[slot, 0:nch, zi + oz,
+                              oy:oy + H, ox:ox + W].astype(jnp.float32)
+                    b = b + wxs[ox][None] * tap
+                a = a + wys[oy][None] * b
+            acc = acc + wz[None] * a
+        out_ref[:, zi] = acc
+        return carry
+
+    jax.lax.fori_loop(0, tz, plane, 0)
+
+
+def _warp_fwd_impl_v5(vol_cf, sz, sy, sx, h: int, tz: int):
+    """v5 launcher: vol_cf (C, D, H, W) f32, s*: (D, H, W) -> (C, D, H, W)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nch, D, H, W = vol_cf.shape
+    p = h
+    grid = D // tz
+    vol_p = jnp.pad(vol_cf, [(0, 0), (p, p), (p, p), (p, p)], mode="edge")
+    if _bf16_window():
+        vol_p = vol_p.astype(jnp.bfloat16)
+    shift = jnp.stack([sz, sy, sx], 0)
+    if _bf16_shift():
+        shift = shift.astype(jnp.bfloat16)
+
+    kernel = functools.partial(_v5_kernel, h, tz, (D, H, W), nch, grid)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, tz, H, W), lambda i: (0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, nch, tz + 2 * p, H + 2 * p, W + 2 * p),
+                       vol_p.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(vol_p, shift)
+
+
+# ------------------------------------------------- v5 streaming backward pair
+#
+# The VJP splits into two independent kernels so each windows only what it
+# reads at halo offsets (the v4 single-kernel backward packs vol+g+shift into
+# one (2*nch+3)-channel window, whose VMEM footprint forces tiny slabs and
+# whose HBM window materialization is the dominant cost):
+#
+#   dshift[x] = g(x) . sum_o (dw_o/dd)(x) vol[x + o]   — windows VOL only
+#               (g, shift, and the 3 outputs ride zero-copy center blocks);
+#   dvol[u]   = sum_o w_o(u - o) g(u - o)              — windows G and SHIFT
+#               (two separate DMA rings; no host-side channel concat).
+#
+# Zero-padded g makes the flipped-offset taps self-masking (out-of-volume
+# source positions contribute w * 0), the same identity the XLA reference
+# backward uses — no validity mask needed. Compute runs the same per-plane
+# inner fori as the v5 forward, keeping temporaries plane-sized.
+
+
+def _v5_bwd_footprints(spatial, nch: int, halo: int, tz: int):
+    D, H, W = (int(s) for s in spatial)
+    p = halo
+    lw, lwp = _v5_lanes(W), _v5_lanes(W + 2 * p)
+    ring = lambda ch: 2 * ch * (tz + 2 * p) * (H + 2 * p) * lwp * 4
+    blk = lambda ch: 2 * ch * tz * H * lw * 4
+    temps = (3 * nch + 20) * H * lw * 4
+    dshift = ring(nch) + blk(nch) + blk(3) + blk(3) + temps
+    dvol = ring(nch) + ring(3) + blk(nch) + temps
+    return dshift, dvol
+
+
+def _v5_pick_tz_bwd(spatial, nch: int, halo: int):
+    """Largest tz dividing D with BOTH backward kernels in budget."""
+    D = int(spatial[0])
+    env = os.environ.get("VXM_PALLAS_V5_TZ_BWD")
+    if env:
+        tz = int(env)
+        return tz if tz > 0 and D % tz == 0 else None
+    for tz in (16, 8, 4, 2, 1):
+        if D % tz == 0:
+            ds, dv = _v5_bwd_footprints(spatial, nch, halo, tz)
+            if max(ds, dv) <= _V5_BUDGET:
+                return tz
+    return None
+
+
+def _v5_dshift_kernel(h, tz, spatial, nch, grid,
+                      vol_hbm, g_ref, shift_ref, out_ref, win, sem):
+    """dshift = g . d(warp)/d(shift): vol windowed, everything else centered.
+
+    vol_hbm: (nch, D+2p, H+2p, W+2p) edge-padded, ANY space.
+    g_ref: (nch, TZ, H, W); shift_ref: (3, TZ, H, W) center blocks.
+    out_ref: (3, TZ, H, W) — the three displacement cotangents.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, H, W = spatial
+    p = h
+    i = pl.program_id(0)
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            vol_hbm.at[:, pl.ds(step * tz, tz + 2 * p)],
+            win.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < grid)
+    def _():
+        dma((i + 1) % 2, i + 1).start()
+
+    dma(i % 2, i).wait()
+    slot = i % 2
+
+    fiota = lambda d: jax.lax.broadcasted_iota(
+        jnp.int32, (H, W), d).astype(jnp.float32)
+    y0 = fiota(0)
+    x0 = fiota(1)
+
+    def plane(zi, carry):
+        sz = shift_ref[0, zi].astype(jnp.float32)
+        sy = shift_ref[1, zi].astype(jnp.float32)
+        sx = shift_ref[2, zi].astype(jnp.float32)
+        zf = (i * tz + zi).astype(jnp.float32)
+        dz = jnp.clip(zf + sz, 0.0, D - 1.0) - zf
+        dy = jnp.clip(y0 + sy, 0.0, H - 1.0) - y0
+        dx = jnp.clip(x0 + sx, 0.0, W - 1.0) - x0
+        # zero gradient through a saturated clip
+        in_z = ((zf + sz) > 0.0) & ((zf + sz) < D - 1.0)
+        in_y = ((y0 + sy) > 0.0) & ((y0 + sy) < H - 1.0)
+        in_x = ((x0 + sx) > 0.0) & ((x0 + sx) < W - 1.0)
+        g0 = g_ref[:, zi].astype(jnp.float32)
+
+        wxs = [(_tri(dx, float(ox)), _dtri(dx, float(ox)))
+               for ox in range(-h, h + 1)]
+        wys = [(_tri(dy, float(oy)), _dtri(dy, float(oy)))
+               for oy in range(-h, h + 1)]
+        dsz = jnp.zeros((H, W), jnp.float32)
+        dsy = jnp.zeros((H, W), jnp.float32)
+        dsx = jnp.zeros((H, W), jnp.float32)
+        for oz in range(2 * h + 1):
+            ozf = float(oz - h)
+            wz, dwz = _tri(dz, ozf), _dtri(dz, ozf)
+            for oy in range(2 * h + 1):
+                wy, dwy = wys[oy]
+                for ox in range(2 * h + 1):
+                    wx, dwx = wxs[ox]
+                    tap = win[slot, 0:nch, zi + oz,
+                              oy:oy + H, ox:ox + W].astype(jnp.float32)
+                    gv = jnp.sum(g0 * tap, axis=0)
+                    dsz = dsz + gv * dwz * wy * wx
+                    dsy = dsy + gv * wz * dwy * wx
+                    dsx = dsx + gv * wz * wy * dwx
+        out_ref[0, zi] = jnp.where(in_z, dsz, 0.0)
+        out_ref[1, zi] = jnp.where(in_y, dsy, 0.0)
+        out_ref[2, zi] = jnp.where(in_x, dsx, 0.0)
+        return carry
+
+    jax.lax.fori_loop(0, tz, plane, 0)
+
+
+def _v5_dvol_kernel(h, tz, spatial, nch, grid,
+                    g_hbm, s_hbm, out_ref, gwin, swin, gsem, ssem):
+    """dvol[u] = sum_o w_o(u-o) g(u-o): g and shift windowed (flipped reads).
+
+    g_hbm: (nch, D+2p, H+2p, W+2p) ZERO-padded cotangent, ANY space.
+    s_hbm: (3, D+2p, H+2p, W+2p) ZERO-padded shift, ANY space.
+    out_ref: (nch, TZ, H, W).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, H, W = spatial
+    p = h
+    i = pl.program_id(0)
+
+    def dmas(slot, step):
+        zsl = pl.ds(step * tz, tz + 2 * p)
+        return (pltpu.make_async_copy(g_hbm.at[:, zsl], gwin.at[slot],
+                                      gsem.at[slot]),
+                pltpu.make_async_copy(s_hbm.at[:, zsl], swin.at[slot],
+                                      ssem.at[slot]))
+
+    @pl.when(i == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(i + 1 < grid)
+    def _():
+        for d in dmas((i + 1) % 2, i + 1):
+            d.start()
+
+    for d in dmas(i % 2, i):
+        d.wait()
+    slot = i % 2
+
+    fiota = lambda d: jax.lax.broadcasted_iota(
+        jnp.int32, (H, W), d).astype(jnp.float32)
+    y0 = fiota(0)
+    x0 = fiota(1)
+
+    def plane(zi, carry):
+        zf = (i * tz + zi).astype(jnp.float32)
+        acc = jnp.zeros((nch, H, W), jnp.float32)
+        for oz in range(2 * h + 1):
+            ozf = float(oz - h)
+            # source position q = u - o; window row of q.z is zi + 2h - oz
+            row = zi + 2 * h - oz
+            zq = zf - ozf
+            for oy in range(-h, h + 1):
+                ys = p - oy
+                yq = y0 - float(oy)
+                for ox in range(-h, h + 1):
+                    xs = p - ox
+                    xq = x0 - float(ox)
+                    szq = swin[slot, 0, row, ys:ys + H, xs:xs + W].astype(jnp.float32)
+                    syq = swin[slot, 1, row, ys:ys + H, xs:xs + W].astype(jnp.float32)
+                    sxq = swin[slot, 2, row, ys:ys + H, xs:xs + W].astype(jnp.float32)
+                    dzq = jnp.clip(zq + szq, 0.0, D - 1.0) - zq
+                    dyq = jnp.clip(yq + syq, 0.0, H - 1.0) - yq
+                    dxq = jnp.clip(xq + sxq, 0.0, W - 1.0) - xq
+                    w = (_tri(dzq, ozf) * _tri(dyq, float(oy))
+                         * _tri(dxq, float(ox)))
+                    gtap = gwin[slot, 0:nch, row,
+                                ys:ys + H, xs:xs + W].astype(jnp.float32)
+                    acc = acc + w[None] * gtap
+        out_ref[:, zi] = acc
+        return carry
+
+    jax.lax.fori_loop(0, tz, plane, 0)
+
+
+def _bwd_impl_v5(vol_cf, shift, g, h: int, tz: int):
+    """v5 backward launcher: two streaming kernels, shared padded operands."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nch, D, H, W = vol_cf.shape
+    p = h
+    grid = D // tz
+    pads3 = [(p, p)] * 3
+
+    s_cf = jnp.moveaxis(shift, -1, 0)  # (3, D, H, W)
+
+    # dshift: vol edge-padded + windowed; g/shift/out zero-copy blocks
+    vol_p = jnp.pad(vol_cf, [(0, 0)] + pads3, mode="edge")
+    ker = functools.partial(_v5_dshift_kernel, h, tz, (D, H, W), nch, grid)
+    dshift_cf = pl.pallas_call(
+        ker,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
+            pl.BlockSpec((3, tz, H, W), lambda i: (0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, tz, H, W), lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, nch, tz + 2 * p, H + 2 * p, W + 2 * p),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(vol_p, g, s_cf)
+
+    # dvol: g and shift zero-padded + windowed; out zero-copy
+    g_p = jnp.pad(g, [(0, 0)] + pads3)
+    s_p = jnp.pad(s_cf, [(0, 0)] + pads3)
+    ker = functools.partial(_v5_dvol_kernel, h, tz, (D, H, W), nch, grid)
+    dvol = pl.pallas_call(
+        ker,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nch, D, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, nch, tz + 2 * p, H + 2 * p, W + 2 * p),
+                       jnp.float32),
+            pltpu.VMEM((2, 3, tz + 2 * p, H + 2 * p, W + 2 * p),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(g_p, s_p)
+
+    return dvol, jnp.moveaxis(dshift_cf, 0, -1)
 
 
 # ------------------------------------------------------------ backward kernel
@@ -779,6 +1212,10 @@ def _warp_cf_bwd(h, res, g):
     nch, D, H, W = vol_cf.shape
     if os.environ.get("VXM_PALLAS_BWD", "1") == "0":
         return _warp_cf_bwd_ref(h, res, g)
+    if _v5_enabled():
+        tz5 = _v5_pick_tz_bwd((D, H, W), nch, h)
+        if tz5 is not None:
+            return _bwd_impl_v5(vol_cf, shift, g, h, tz5)
     if (_pick_tz((D, H, W), nch, h, "bwd") is None
             and _pick_th_bwd(H) is None):
         return _warp_cf_bwd_ref(h, res, g)

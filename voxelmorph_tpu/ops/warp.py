@@ -129,18 +129,37 @@ def set_pallas_dispatch(enabled: bool) -> None:
     _PALLAS_DISPATCH_OK = bool(enabled)
 
 
+def _pallas_eligible(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> bool:
+    if not (_PALLAS_DISPATCH_OK
+            and loc_shift.shape[-1] == 3
+            and os.environ.get("VXM_PALLAS", "1") != "0"):
+        return False
+    from . import pallas_interp
+    return (pallas_interp.pallas_available()
+            and pallas_interp.kernel_vmem_fits(
+                vol.shape[:-1], vol.shape[-1], halo))
+
+
 def _windowed_impl(vol: jnp.ndarray, loc_shift: jnp.ndarray, halo: int) -> jnp.ndarray:
     """Bounded-displacement warp: the Pallas TPU kernel when available
     (single pass over HBM), else the XLA shifted-slice formulation."""
-    if (_PALLAS_DISPATCH_OK
-            and loc_shift.shape[-1] == 3
-            and os.environ.get("VXM_PALLAS", "1") != "0"):
+    if _pallas_eligible(vol, loc_shift, halo):
         from . import pallas_interp
-        if (pallas_interp.pallas_available()
-                and pallas_interp.kernel_vmem_fits(
-                    vol.shape[:-1], vol.shape[-1], halo)):
-            return pallas_interp.warp_bounded(vol, loc_shift, halo)
+        return pallas_interp.warp_bounded(vol, loc_shift, halo)
     return windowed_transform(vol, loc_shift, halo)
+
+
+def _windowed_impl_batched(vols: jnp.ndarray, shifts: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Batch of bounded warps. The Pallas path unrolls over the batch instead
+    of vmapping: the v5 streaming kernel (manual DMA + scratch semaphores)
+    has no vmap batching rule, and on a single-TensorCore chip sequential
+    kernel launches pipeline back-to-back anyway. The XLA path keeps vmap."""
+    if _pallas_eligible(vols[0], shifts[0], halo):
+        from . import pallas_interp
+        return jnp.stack([
+            pallas_interp.warp_bounded(vols[b], shifts[b], halo)
+            for b in range(vols.shape[0])])
+    return jax.vmap(lambda v, s: windowed_transform(v, s, halo))(vols, shifts)
 
 
 def transform(
@@ -284,7 +303,7 @@ def transform_batched(
         return gather(vols, shifts)
     return _tiered_windowed_switch(
         (vols, shifts),
-        lambda args, h: jax.vmap(lambda v, s: _windowed_impl(v, s, h))(*args),
+        lambda args, h: _windowed_impl_batched(args[0], args[1], h),
         lambda args: gather(*args), window_halo,
         jnp.max(jnp.abs(shifts)))
 
@@ -359,9 +378,8 @@ def phase_warp_batched(
     """
     def fast(args):
         v, r, _ = args
-        w = jax.vmap(lambda vv, rr: _windowed_impl(vv, rr, halo))
         for _ in range(n_apps):
-            v = w(v, r)
+            v = _windowed_impl_batched(v, r, halo)
         return v.astype(jnp.float32)
 
     def slow(args):
