@@ -42,8 +42,11 @@ def main():
         D, H, W = shape
         rng = np.random.default_rng(0)
         vol = jnp.asarray(rng.standard_normal((D, H, W, nch)).astype(np.float32))
-        shift = jnp.asarray(np.clip(
-            rng.standard_normal((D, H, W, 3)) * 0.5 * h, -h, h).astype(np.float32))
+        # tanh-bounded, kink-free shifts: np.clip would put atoms exactly ON
+        # the triangular kernel's |d|=h kink, where the Pallas subgradient
+        # convention differs (validly) from XLA autodiff's
+        shift = jnp.asarray((np.tanh(
+            rng.standard_normal((D, H, W, 3))) * 0.95 * h).astype(np.float32))
         out[f"{tag}_tz"] = P._v5_pick_tz(shape, nch, h)
         out[f"{tag}_bwd_tz"] = P._v5_pick_tz_bwd(shape, nch, h)
         try:

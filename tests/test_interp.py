@@ -186,3 +186,35 @@ def test_gather_bwd_wide_matches_narrow(monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gl_n), np.asarray(gl_w),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_interpn_label_onehot_matches_packed_warp():
+    """The fused image+label interpolation must bit-match interpolating the
+    materialized (1+L)-channel one-hot pack (the labels_to_image synthesis
+    warp it replaces) — including edge clamping and out-of-range samples."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    S, L = (9, 11, 13), 6
+    img = jnp.asarray(rng.standard_normal(S).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, L, S).astype(np.int32))
+    one_hot = jax.nn.one_hot(lab, L, dtype=jnp.float32)
+    packed = jnp.concatenate([img[..., None], one_hot], -1)
+
+    # identity-shaped dense warp with out-of-range excursions
+    shift = jnp.asarray((rng.standard_normal((*S, 3)) * 3.0).astype(np.float32))
+    loc = I.ndgrid(S, dtype=shift.dtype) + shift
+    ref = np.asarray(I.interpn(packed, loc))
+    got_img, got_oh = I.interpn_label_onehot(img, lab, loc, L)
+    np.testing.assert_array_equal(np.asarray(got_img), ref[..., 0])
+    np.testing.assert_array_equal(np.asarray(got_oh), ref[..., 1:])
+
+    # non-identity output shape (point-cloud style sampling)
+    loc2 = jnp.asarray(rng.uniform(-1.5, 14.0, size=(4, 7, 3)).astype(np.float32))
+    ref2 = np.asarray(I.interpn(packed, loc2))
+    got_img2, got_oh2 = I.interpn_label_onehot(img, lab, loc2, L)
+    np.testing.assert_array_equal(np.asarray(got_img2), ref2[..., 0])
+    np.testing.assert_array_equal(np.asarray(got_oh2), ref2[..., 1:])
+
+    # partition of unity where the cell is in-volume: channels sum to 1
+    assert np.allclose(np.asarray(got_oh).sum(-1), 1.0, atol=1e-6)

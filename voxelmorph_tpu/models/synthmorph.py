@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import affine as affine_ops
+from ..ops import interp as interp_ops
 from ..ops import warp as warp_ops
 from ..ops.image import barycenter, draw_multiscale_noise, gaussian_blur, sqrtm
 from .unet import HyperConv
@@ -157,9 +158,9 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
         noise = jax.random.normal(keys[3], lab.shape, jnp.float32)
         image = means[idx] + stds[idx] * noise
 
-        # 2. one-hot of the map over out labels
+        # 2. compressed label indices over out labels (one-hot is fused into
+        # the warp below — never materialized unwarped)
         out_idx = jnp.asarray(cfg.out_lut)[jnp.clip(lab, 0, len(cfg.out_lut) - 1)]
-        one_hot = jax.nn.one_hot(out_idx, cfg.nb_out_labels, dtype=jnp.float32)
 
         # 3. random smooth SVF -> diffeomorphic warp; image and one-hot ride
         # the SAME warp with LINEAR interpolation (one fused gather). The
@@ -172,11 +173,15 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
         svf = draw_multiscale_noise(keys[0], cfg.in_shape, cfg.warp_res,
                                     cfg.warp_std, nb_channels=nd)
         warp = warp_ops.integrate_vec(svf, nb_steps=cfg.warp_int_steps)
-        packed = jnp.concatenate([image[..., None], one_hot], axis=-1)
-        # window_halo=None: this runs under vmap, where the adaptive
-        # lax.cond dispatch would execute both branches (ops/warp.py note)
-        packed = warp_ops.transform(packed, warp, window_halo=None)
-        image, one_hot = packed[..., 0], packed[..., 1:]
+        # Fused image + one-hot warp: the one-hot structure lets the warp
+        # gather the INTEGER map (1 channel) per corner and scatter the
+        # interpolation weight into the matching channel in registers —
+        # identical output to warping the materialized (1+L)-channel pack,
+        # ~15x less gather traffic (the full-res train-step bottleneck).
+        # (Runs under vmap; the gather formulation needs no halo dispatch.)
+        loc = interp_ops.ndgrid(cfg.in_shape, dtype=warp.dtype) + warp
+        image, one_hot = interp_ops.interpn_label_onehot(
+            image, out_idx, loc, cfg.nb_out_labels)
 
         # 4. blur with random std
         blur_sig = jax.random.uniform(keys[4], (), jnp.float32, 0.0, cfg.blur_std)

@@ -463,6 +463,85 @@ def point_interpn(vol, points, interp_method: str = "linear"):
     return interpn(vol, points, interp_method=interp_method)
 
 
+def interpn_label_onehot(image, lab_idx, loc, nb_labels: int):
+    """Jointly interpolate a scalar image and the ONE-HOT encoding of an
+    integer label map at continuous ij locations.
+
+    Numerically identical to
+        ``interpn(concat([image[..., None], one_hot(lab_idx, L)], -1), loc)``
+    (clamp-to-edge semantics), but exploits the one-hot structure: each cell
+    corner holds exactly one non-zero channel, so the multilinear blend of L
+    one-hot channels equals scattering each corner's weight into the channel
+    named by the INTEGER map at that corner. That turns 2^N gathers of
+    (L+1)-channel rows into 2^N gathers of 2 scalars (image + label) plus an
+    in-register compare against ``arange(L)`` — at full resolution with the
+    ~30-label FreeSurfer set this is ~15x less gather traffic than the
+    wide-channel path (`_linear_gather_wide`), the measured bottleneck of the
+    full-res SynthMorph train step.
+
+    The one-hot accumulates CHANNELS-FIRST (an (M, L) channels-minor
+    intermediate lane-pads L->128; see interpn's wide-channel note).
+
+    Synthesis-path helper (the reference warps image and one-hot maps with a
+    shared fused gather: tf/networks.py labels_to_image); intended for the
+    forward-only data-synthesis path — it is differentiable via autodiff,
+    but has no memory-lean custom VJP like interpn's.
+
+    Args:
+      image: ``(*S,)`` float image.
+      lab_idx: ``(*S,)`` integer label map, values in ``[0, nb_labels)``.
+      loc: ``(*S', N)`` continuous ij sample locations.
+      nb_labels: L, the one-hot width.
+
+    Returns:
+      ``(image_out (*S',), one_hot (*S', L))``.
+    """
+    nd = loc.shape[-1]
+    spatial = image.shape
+    assert lab_idx.shape == tuple(spatial)
+    compute_dtype = loc.dtype if jnp.issubdtype(loc.dtype, jnp.floating) else jnp.float32
+    loc = loc.astype(compute_dtype)
+    out_shape = loc.shape[:-1]
+    loc_dims = [loc[..., d].reshape(-1) for d in range(nd)]
+    strides = _flatten_strides(spatial)
+    max_loc = [s - 1 for s in spatial]
+    V = int(image.size)
+
+    idx0 = [jnp.clip(jnp.floor(l).astype(jnp.int32), 0, m)
+            for l, m in zip(loc_dims, max_loc)]
+    w1 = [jnp.clip(l, 0.0, m) - i.astype(compute_dtype)
+          for l, m, i in zip(loc_dims, max_loc, idx0)]
+    w0 = [1.0 - w for w in w1]
+    lin0 = functools.reduce(jnp.add, [i * s for i, s in zip(idx0, strides)])
+
+    ncorners = 2 ** nd
+    corner_bits = [[(c >> d) & 1 for d in range(nd)] for c in range(ncorners)]
+    offsets = [int(sum(b * s for b, s in zip(bits, strides)))
+               for bits in corner_bits]
+
+    img_flat = image.astype(compute_dtype).reshape(-1)
+    lab_flat = lab_idx.reshape(-1)
+    labels = jnp.arange(nb_labels, dtype=lab_flat.dtype)
+
+    img_acc = None
+    oh_acc = None  # (L, M) channels-first
+    for bits, off in zip(corner_bits, offsets):
+        w_c = functools.reduce(
+            jnp.multiply, [w1[d] if b else w0[d] for d, b in enumerate(bits)])
+        # upper-edge cells: the +1 row clamps and carries weight exactly 0
+        rows = jnp.clip(lin0 + off, 0, V - 1)
+        img_c = jnp.take(img_flat, rows)
+        lab_c = jnp.take(lab_flat, rows)
+        oh_c = (lab_c[None, :] == labels[:, None]).astype(compute_dtype)
+        img_term = w_c * img_c
+        oh_term = w_c[None, :] * oh_c
+        img_acc = img_term if img_acc is None else img_acc + img_term
+        oh_acc = oh_term if oh_acc is None else oh_acc + oh_term
+
+    one_hot = jnp.moveaxis(oh_acc.reshape(nb_labels, *out_shape), 0, -1)
+    return img_acc.reshape(out_shape), one_hot
+
+
 import numpy as _np
 
 

@@ -537,12 +537,27 @@ def _v5_lanes(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _v5_sub(n: int, sub: int) -> int:
+    return -(-n // sub) * sub
+
+
+def _v5_ring_hw(H: int, W: int, p: int, sub: int):
+    """Tile-aligned (Hp, Wp) for a DMA'd halo window of an (H, W) plane.
+
+    Mosaic DMA requires the copied extents in the tiled dims to be aligned
+    to the tiling — (sub, 128), sub = 8 for f32 / 16 for bf16 — so the
+    HBM-side padded operand and the VMEM ring both carry these extents.
+    """
+    return _v5_sub(H + 2 * p, sub), _v5_lanes(W + 2 * p)
+
+
 def _v5_footprint(spatial, nch: int, halo: int, tz: int) -> int:
     D, H, W = (int(s) for s in spatial)
     p = halo
     win_bytes = 4 if not _bf16_window() else 2
     sh_bytes = 4 if not _bf16_shift() else 2
-    ring = 2 * nch * (tz + 2 * p) * (H + 2 * p) * _v5_lanes(W + 2 * p) * win_bytes
+    Hp, Wp = _v5_ring_hw(H, W, p, 16 if _bf16_window() else 8)
+    ring = 2 * nch * (tz + 2 * p) * Hp * Wp * win_bytes
     shift = 2 * 3 * tz * H * _v5_lanes(W) * sh_bytes
     out = 2 * nch * tz * H * _v5_lanes(W) * 4
     # plane-sized live set: acc/a/b (nch each), dz/dy/dx, wxs+wys (2h+1 each),
@@ -568,10 +583,11 @@ def _v5_kernel(h, tz, spatial, nch, grid, vol_hbm, shift_ref, out_ref,
                win, sem):
     """One z-slab, v5: manual double-buffered window DMA + per-plane compute.
 
-    vol_hbm: (nch, D+2p, H+2p, W+2p) edge-padded volume, ANY (HBM) space.
+    vol_hbm: (nch, D+2p, Hp, Wp) edge-padded volume (H/W tile-aligned,
+        see _v5_ring_hw), ANY (HBM) space.
     shift_ref: (3, TZ, H, W) center block (zero-copy — tz | D, no lane pad).
     out_ref: (nch, TZ, H, W) center block (zero-copy).
-    win: (2, nch, TZ+2p, H+2p, W+2p) VMEM ring; sem: 2 DMA semaphores.
+    win: (2, nch, TZ+2p, Hp, Wp) VMEM ring; sem: 2 DMA semaphores.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -639,7 +655,12 @@ def _warp_fwd_impl_v5(vol_cf, sz, sy, sx, h: int, tz: int):
     nch, D, H, W = vol_cf.shape
     p = h
     grid = D // tz
-    vol_p = jnp.pad(vol_cf, [(0, 0), (p, p), (p, p), (p, p)], mode="edge")
+    # DMA-aligned window extents: H+2p -> sublane tile, W+2p -> 128 lanes
+    # (the slack rows/cols replicate the edge and are never read — taps only
+    # touch [0, H+2p) x [0, W+2p))
+    Hp, Wp = _v5_ring_hw(H, W, p, 16 if _bf16_window() else 8)
+    vol_p = jnp.pad(vol_cf, [(0, 0), (p, p), (p, Hp - H - p), (p, Wp - W - p)],
+                    mode="edge")
     if _bf16_window():
         vol_p = vol_p.astype(jnp.bfloat16)
     shift = jnp.stack([sz, sy, sx], 0)
@@ -657,8 +678,7 @@ def _warp_fwd_impl_v5(vol_cf, sz, sy, sx, h: int, tz: int):
         out_specs=pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nch, D, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, nch, tz + 2 * p, H + 2 * p, W + 2 * p),
-                       vol_p.dtype),
+            pltpu.VMEM((2, nch, tz + 2 * p, Hp, Wp), vol_p.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_INTERPRET,
@@ -686,8 +706,9 @@ def _warp_fwd_impl_v5(vol_cf, sz, sy, sx, h: int, tz: int):
 def _v5_bwd_footprints(spatial, nch: int, halo: int, tz: int):
     D, H, W = (int(s) for s in spatial)
     p = halo
-    lw, lwp = _v5_lanes(W), _v5_lanes(W + 2 * p)
-    ring = lambda ch: 2 * ch * (tz + 2 * p) * (H + 2 * p) * lwp * 4
+    lw = _v5_lanes(W)
+    Hp, Wp = _v5_ring_hw(H, W, p, 8)
+    ring = lambda ch: 2 * ch * (tz + 2 * p) * Hp * Wp * 4
     blk = lambda ch: 2 * ch * tz * H * lw * 4
     temps = (3 * nch + 20) * H * lw * 4
     dshift = ring(nch) + blk(nch) + blk(3) + blk(3) + temps
@@ -714,7 +735,7 @@ def _v5_dshift_kernel(h, tz, spatial, nch, grid,
                       vol_hbm, g_ref, shift_ref, out_ref, win, sem):
     """dshift = g . d(warp)/d(shift): vol windowed, everything else centered.
 
-    vol_hbm: (nch, D+2p, H+2p, W+2p) edge-padded, ANY space.
+    vol_hbm: (nch, D+2p, Hp, Wp) edge-padded, tile-aligned, ANY space.
     g_ref: (nch, TZ, H, W); shift_ref: (3, TZ, H, W) center blocks.
     out_ref: (3, TZ, H, W) — the three displacement cotangents.
     """
@@ -792,8 +813,8 @@ def _v5_dvol_kernel(h, tz, spatial, nch, grid,
                     g_hbm, s_hbm, out_ref, gwin, swin, gsem, ssem):
     """dvol[u] = sum_o w_o(u-o) g(u-o): g and shift windowed (flipped reads).
 
-    g_hbm: (nch, D+2p, H+2p, W+2p) ZERO-padded cotangent, ANY space.
-    s_hbm: (3, D+2p, H+2p, W+2p) ZERO-padded shift, ANY space.
+    g_hbm: (nch, D+2p, Hp, Wp) ZERO-padded cotangent, ANY space.
+    s_hbm: (3, D+2p, Hp, Wp) ZERO-padded shift, ANY space.
     out_ref: (nch, TZ, H, W).
     """
     import jax.experimental.pallas as pl
@@ -868,7 +889,10 @@ def _bwd_impl_v5(vol_cf, shift, g, h: int, tz: int):
     nch, D, H, W = vol_cf.shape
     p = h
     grid = D // tz
-    pads3 = [(p, p)] * 3
+    # DMA-aligned window extents (see _warp_fwd_impl_v5); backward rings are
+    # always f32 -> sublane tile 8
+    Hp, Wp = _v5_ring_hw(H, W, p, 8)
+    pads3 = [(p, p), (p, Hp - H - p), (p, Wp - W - p)]
 
     s_cf = jnp.moveaxis(shift, -1, 0)  # (3, D, H, W)
 
@@ -886,8 +910,7 @@ def _bwd_impl_v5(vol_cf, shift, g, h: int, tz: int):
         out_specs=pl.BlockSpec((3, tz, H, W), lambda i: (0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, D, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, nch, tz + 2 * p, H + 2 * p, W + 2 * p),
-                       jnp.float32),
+            pltpu.VMEM((2, nch, tz + 2 * p, Hp, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_INTERPRET,
@@ -907,10 +930,8 @@ def _bwd_impl_v5(vol_cf, shift, g, h: int, tz: int):
         out_specs=pl.BlockSpec((nch, tz, H, W), lambda i: (0, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nch, D, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, nch, tz + 2 * p, H + 2 * p, W + 2 * p),
-                       jnp.float32),
-            pltpu.VMEM((2, 3, tz + 2 * p, H + 2 * p, W + 2 * p),
-                       jnp.float32),
+            pltpu.VMEM((2, nch, tz + 2 * p, Hp, Wp), jnp.float32),
+            pltpu.VMEM((2, 3, tz + 2 * p, Hp, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
