@@ -189,3 +189,88 @@ def test_pallas_bwd_2d_grid_matches_reference():
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(dshift), np.asarray(dshift_r),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 3x3x3 SAME conv kernel (pallas_conv)
+
+from voxelmorph_tpu.ops import pallas_conv
+
+
+def _xla_conv3(x, kernel, bias, slope=None):
+    out = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    if slope is not None:
+        out = jnp.where(out >= 0, out, slope * out)
+    return out
+
+
+def _conv_case(ci=2, co=4, shape=(8, 8, 32), seed=5):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(1, *shape, ci)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    return x, k, b
+
+
+def test_pallas_conv_forward_matches_xla():
+    x, k, b = _conv_case()
+    for slope in (None, 0.2):
+        got = pallas_conv.conv3_same(x, k, b, act_slope=slope)
+        assert got is not None
+        ref = _xla_conv3(x, k, b, slope)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_conv_gradients_match_xla():
+    x, k, b = _conv_case()
+    g = jnp.asarray(np.random.default_rng(7).normal(
+        size=(1, 8, 8, 32, 4)).astype(np.float32))
+
+    def loss_p(x, k, b):
+        return jnp.sum(pallas_conv.conv3_same(x, k, b, act_slope=0.2) * g)
+
+    def loss_r(x, k, b):
+        return jnp.sum(_xla_conv3(x, k, b, 0.2) * g)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, k, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_conv_declines_ineligible():
+    # ragged lane extent: W=28, th*W never a 128 multiple at any th
+    x, k, b = _conv_case(shape=(8, 8, 28))
+    assert pallas_conv.conv3_same(x, k, b) is None
+    # odd ci
+    rng = np.random.default_rng(3)
+    x3 = jnp.asarray(rng.normal(size=(1, 8, 8, 32, 3)).astype(np.float32))
+    k3 = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)).astype(np.float32))
+    assert pallas_conv.conv3_same(x3, k3, b) is None
+
+
+def test_unet_pallas_conv_dispatch_parity():
+    """VXM_PALLAS_CONV=1 swaps eligible ConvBlocks onto the kernel; the
+    network output must match the XLA path (same params, same math)."""
+    from voxelmorph_tpu.models import unet as unet_mod
+    import voxelmorph_tpu as vxm
+
+    model = vxm.networks.VxmDense(
+        inshape=(8, 8, 32), nb_unet_features=[[2, 4], [4, 4, 2]],
+        int_steps=0)
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.normal(size=(1, 8, 8, 32, 1)).astype(np.float32))
+    trg = jnp.asarray(rng.normal(size=(1, 8, 8, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), src, trg)
+    ref = model.apply(params, src, trg)
+    os.environ["VXM_PALLAS_CONV"] = "1"
+    try:
+        got = model.apply(params, src, trg)
+    finally:
+        del os.environ["VXM_PALLAS_CONV"]
+    np.testing.assert_allclose(np.asarray(got["y_source"]),
+                               np.asarray(ref["y_source"]), rtol=2e-5, atol=2e-5)

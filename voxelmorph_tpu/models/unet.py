@@ -110,6 +110,41 @@ class HyperConv(nn.Module):
         return out + bias.reshape(bias.shape[0], *([1] * nd), self.features)
 
 
+class PallasConv3(nn.Module):
+    """nn.Conv-compatible 3x3x3 SAME conv backed by the Pallas TPU kernel.
+
+    Same param names/shapes/inits as ``nn.Conv(features, (3,3,3), SAME,
+    he_normal)`` — checkpoints are interchangeable. Optionally fuses the
+    LeakyReLU(0.2) into the kernel epilogue. Falls back to the XLA conv
+    when the kernel declines the shape (tile divisibility / VMEM budget).
+    """
+
+    features: int
+    fuse_act: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import pallas_conv
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (3, 3, 3, ci, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        xc = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        slope = 0.2 if self.fuse_act else None
+        out = pallas_conv.conv3_same(xc, k, b, act_slope=slope)
+        if out is None:
+            out = jax.lax.conv_general_dilated(
+                xc, k, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+            if slope is not None:
+                out = _leaky_relu(out)
+        return out
+
+
 class ConvBlock(nn.Module):
     """conv(k3, he_normal) [+ residual] + LeakyReLU(0.2)."""
 
@@ -123,13 +158,22 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, hyp=None):
+        from ..ops import pallas_conv
         k = (3,) * self.ndims
+        fused_act = False
         if self.hyper:
             out = HyperConv(self.features, k, dtype=self.dtype, name="conv")(x, hyp)
+        elif (pallas_conv.pallas_conv_enabled() and self.ndims == 3
+                and self.strides == 1 and x.ndim == 5):
+            fused_act = self.include_activation and not self.do_res
+            out = PallasConv3(self.features, fuse_act=fused_act,
+                              dtype=self.dtype, name="conv")(x)
         else:
             out = nn.Conv(self.features, k, strides=(self.strides,) * self.ndims,
                           padding="SAME", kernel_init=nn.initializers.he_normal(),
                           dtype=self.dtype, name="conv")(x)
+        if fused_act:
+            return out
         if self.do_res:
             add = x
             if self.features != x.shape[-1]:
