@@ -158,7 +158,10 @@ def _init_params_small(model_ctor, nb_inputs=2):
     # the bounded-warp dispatch gates on the GLOBAL backend (tpu), but this
     # init executes on the CPU device — force the XLA path for its duration
     # or pallas_call aborts with "only interpret mode on CPU backend"
+    from voxelmorph_tpu.ops import pallas_conv
     warp_ops.set_pallas_dispatch(False)
+    conv_forced = pallas_conv._FORCED
+    pallas_conv.set_pallas_conv(False)
     try:
         with jax.default_device(cpu):
             args = [jnp.zeros((1, *small, 1), jnp.float32)
@@ -166,6 +169,7 @@ def _init_params_small(model_ctor, nb_inputs=2):
             params = model.init(jax.random.PRNGKey(0), *args)["params"]
     finally:
         warp_ops.set_pallas_dispatch(True)
+        pallas_conv.set_pallas_conv(conv_forced)
     return params
 
 
@@ -498,6 +502,15 @@ if __name__ == "__main__":
             sys.exit(0)
 
     _enable_compile_cache()
+
+    # The Pallas conv kernel is the production conv path on TPU (measured
+    # 3.8x over XLA's 3-D conv lowering at the full-res U-Net shapes,
+    # artifacts_r5/AB_conv_r05.json) — drive every stage through it unless
+    # explicitly reverted for an A/B.
+    if os.environ.get("VXM_BENCH_XLACONV", "0") != "1":
+        from voxelmorph_tpu.ops import pallas_conv
+        pallas_conv.set_pallas_conv(True)
+        RESULT["detail"]["conv_path"] = "pallas"
 
     detail = RESULT["detail"]
     detail["infer_bs8"] = ("skipped: diagnosed deterministic XLA OOM "

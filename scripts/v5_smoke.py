@@ -90,10 +90,20 @@ def main():
         except Exception as e:
             out[f"{tag}_bwd"] = f"failed: {type(e).__name__}: {str(e)[:200]}"
 
-    case("entry64_h1_nch3", (64, 64, 64), 3, 1)
-    case("half_h2_nch3", (80, 96, 112), 3, 2)
-    case("full_h1_nch1", (160, 192, 224), 1, 1)
-    case("full_h2_nch1", (160, 192, 224), 1, 2)
+    path = os.environ.get("V5_SMOKE_OUT", "")
+
+    def flush():
+        if path:
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1)
+
+    for args in (("entry64_h1_nch3", (64, 64, 64), 3, 1),
+                 ("half_h2_nch3", (80, 96, 112), 3, 2),
+                 ("full_h1_nch1", (160, 192, 224), 1, 1),
+                 ("full_h2_nch1", (160, 192, 224), 1, 2)):
+        case(*args)
+        flush()
+        print(args[0], "done", flush=True)
     print(json.dumps(out, indent=1))
 
 

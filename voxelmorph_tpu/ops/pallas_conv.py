@@ -57,7 +57,19 @@ _INTERPRET = os.environ.get("VXM_PALLAS_INTERPRET", "0") == "1"
 _BUDGET = int(11.5 * 1024 * 1024)
 
 
+_FORCED = None  # process-local override: True/False beats the env var
+
+
+def set_pallas_conv(enabled):
+    """Force the conv-kernel dispatch on/off for this process (None = env).
+    Takes effect at the next trace — callers re-jit after toggling."""
+    global _FORCED
+    _FORCED = enabled
+
+
 def pallas_conv_enabled() -> bool:
+    if _FORCED is not None:
+        return _FORCED
     return os.environ.get("VXM_PALLAS_CONV", "0") == "1"
 
 

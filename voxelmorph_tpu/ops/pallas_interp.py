@@ -523,8 +523,14 @@ def _warp_fwd_impl(vol_cf, sz, sy, sx, h: int):
 
 
 def _v5_enabled() -> bool:
-    """v5 streaming kernel dispatch (VXM_PALLAS_V5=0 restores v4)."""
-    return os.environ.get("VXM_PALLAS_V5", "1") != "0"
+    """v5 streaming kernel dispatch — opt-in (VXM_PALLAS_V5=1).
+
+    Real-chip status (artifacts_r5/V5_SMOKE_r05.json): forward is correct
+    and 1.7x faster than v4 where it compiles (66 GB/s full-res halo-1),
+    but the backward kernel returns wrong gradients (max err ~1.9 vs the
+    XLA reference) and the halo-2 shapes fail the Mosaic remote compile.
+    v4 stays the production dispatch until both are fixed."""
+    return os.environ.get("VXM_PALLAS_V5", "0") == "1"
 
 
 # Scoped-VMEM budget for the v5 launcher: explicit ring scratch + Mosaic's
