@@ -233,10 +233,18 @@ def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
     import jax
     import jax.numpy as jnp
     from voxelmorph_tpu.models import VxmDense
+    from voxelmorph_tpu.ops import pallas_conv
     from voxelmorph_tpu.registration import enable_fast_warp
 
-    moving, fixed = _load_pair()
+    # Inference rides the Pallas conv kernel (AB_conv_r05: 3.8x over XLA's
+    # 3-D conv lowering at the full-res U-Net shapes; the batch is folded
+    # into the kernel grid). VXM_BENCH_XLACONV=1 reverts for an A/B.
+    use_pallas_conv = os.environ.get("VXM_BENCH_XLACONV", "0") != "1"
+    pallas_conv.set_pallas_conv(use_pallas_conv)
     detail = RESULT["detail"]
+    detail["conv_path_infer"] = "pallas" if use_pallas_conv else "xla"
+
+    moving, fixed = _load_pair()
     for dtype_name in dtypes:
         dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         model = VxmDense(inshape=INSHAPE, int_steps=7, int_resolution=2,
@@ -301,7 +309,18 @@ def measure_train_step(iters=5, warmup=2, dtype_name="float32", batch_size=1):
     import jax.numpy as jnp
     import voxelmorph_tpu as vxm
     from voxelmorph_tpu.models import VxmDense
+    from voxelmorph_tpu.ops import pallas_conv
     from voxelmorph_tpu.training import LossTerm, Trainer
+
+    # bf16 training rides the conv kernel (2x VJP win, AB_conv_r05; the
+    # all-kernel bs2-bf16 step compiles at 14.54 GiB where XLA OOMs at
+    # 16.00). f32 stays on XLA conv: the kernel's dw contraction layout
+    # peaks over HBM at f32 bs1 (16.95G, BENCH_trial_r05a).
+    use_pallas_conv = (dtype_name == "bfloat16"
+                       and os.environ.get("VXM_BENCH_XLACONV", "0") != "1")
+    pallas_conv.set_pallas_conv(use_pallas_conv)
+    RESULT["detail"][f"conv_path_train_{dtype_name}"] = (
+        "pallas" if use_pallas_conv else "xla")
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     moving, fixed = _load_pair()
@@ -502,15 +521,6 @@ if __name__ == "__main__":
             sys.exit(0)
 
     _enable_compile_cache()
-
-    # The Pallas conv kernel is the production conv path on TPU (measured
-    # 3.8x over XLA's 3-D conv lowering at the full-res U-Net shapes,
-    # artifacts_r5/AB_conv_r05.json) — drive every stage through it unless
-    # explicitly reverted for an A/B.
-    if os.environ.get("VXM_BENCH_XLACONV", "0") != "1":
-        from voxelmorph_tpu.ops import pallas_conv
-        pallas_conv.set_pallas_conv(True)
-        RESULT["detail"]["conv_path"] = "pallas"
 
     detail = RESULT["detail"]
     detail["infer_bs8"] = ("skipped: diagnosed deterministic XLA OOM "

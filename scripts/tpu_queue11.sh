@@ -69,7 +69,7 @@ timeout -k 30 "$T" python scripts/train_synthmorph.py \
 echo "anneal010 rc=$? $(date)"; grep -E "epoch " /tmp/anneal010.log | tail -1
 }
 
-T=$(gate pure 4200) && {
+T=$(gate pure 2600) && {
 echo "=== PURE Dice+Grad from the annealed net ($T s): $(date) ==="
 CK=$(ls models_synth_r5/w10/0*.npz 2>/dev/null | tail -1)
 [ -z "$CK" ] && { echo "SKIP pure: no w10 checkpoint" >&2; CK=""; }
@@ -79,7 +79,7 @@ CK=$(ls models_synth_r5/w10/0*.npz 2>/dev/null | tail -1)
   --init-weights "$CK" \
   --dtype bfloat16 --lr 5e-5 --clip-grad 1.0 \
   --cache-device --steps-per-dispatch 25 \
-  --epochs 30 --steps-per-epoch 100 --save-freq 5 \
+  --epochs 20 --steps-per-epoch 100 --save-freq 5 \
   > /tmp/pure.log 2>&1
 echo "pure rc=$? $(date)"; grep -E "epoch " /tmp/pure.log | tail -1
 }
@@ -119,51 +119,17 @@ if [ -z "$CK" ]; then echo "SKIP hypersweep: no checkpoint" >&2; else
 fi
 }
 
-T=$(gate unsuptrain 7200) && {
-echo "=== unsupervised VxmDense retrain, full res, NCC, bf16 ($T s): $(date) ==="
-timeout -k 30 "$T" python scripts/train.py \
-  --img-list data_gen/train_list.txt \
-  --model-dir models_unsup_r5 --image-loss ncc --lambda 1 \
-  --dtype bfloat16 --cache-device --steps-per-dispatch 10 \
-  --epochs 80 --steps-per-epoch 100 --save-freq 20 \
-  > /tmp/unsup_r5.log 2>&1
-echo "unsup rc=$? $(date)"; grep -E "epoch " /tmp/unsup_r5.log | tail -1
-cp -f models_unsup_r5/metrics.csv artifacts_r5/unsup_r5_metrics.csv 2>/dev/null
-}
-
-T=$(gate unsupeval 1600) && {
-echo "=== unsupervised eval, 12 full-res pairs -> QUALITY_r05 ($T s): $(date) ==="
-CK=$(ls models_unsup_r5/0*.npz 2>/dev/null | tail -1)
-if [ -z "$CK" ]; then echo "SKIP unsupeval: no checkpoint" >&2; else
-  timeout -k 30 "$T" python scripts/run_quality_eval.py --model "$CK" \
-    --out QUALITY_r05.json > /tmp/evalunsup_r5.log 2>&1
-  echo "unsupeval rc=$?"; grep -E '"dice_mean"' QUALITY_r05.json
-  cp -f "$CK" artifacts_r5/unsup_r5_$(basename $CK) 2>/dev/null
-fi
-}
-
-T=$(gate semitrain 5400) && {
-echo "=== semisupervised retrain, 75 epochs, 20 scans ($T s): $(date) ==="
-head -20 data_gen/train_list.txt > data_gen/train_list20.txt
-timeout -k 30 "$T" python scripts/train_semisupervised_seg.py \
-  --img-list data_gen/train_list20.txt --labels data_gen/labels30.npy \
-  --model-dir models_semi_r5 --image-loss ncc \
-  --grad-loss-weight 1 --dice-loss-weight 0.5 \
-  --dtype bfloat16 --cache-device \
-  --epochs 75 --steps-per-epoch 100 \
-  > /tmp/semi_r5.log 2>&1
-echo "semi rc=$? $(date)"; grep -E "epoch " /tmp/semi_r5.log | tail -1
-}
-
-T=$(gate semieval 1600) && {
-echo "=== semisupervised eval, 12 pairs -> QUALITY_r05_semisupervised ($T s): $(date) ==="
-CK=$(ls models_semi_r5/0*.npz 2>/dev/null | tail -1)
-if [ -z "$CK" ]; then echo "SKIP semieval: no checkpoint" >&2; else
-  timeout -k 30 "$T" python scripts/run_quality_eval.py --model "$CK" \
-    --out QUALITY_r05_semisupervised.json > /tmp/evalsemi_r5.log 2>&1
-  echo "semieval rc=$?"; grep -E '"dice_mean"' QUALITY_r05_semisupervised.json
-  cp -f "$CK" artifacts_r5/semi_r5_$(basename $CK) 2>/dev/null
-fi
+T=$(gate fullres_synth_step 1100) && {
+echo "=== full-res SynthMorph train-step timing (VERDICT item 5) ($T s): $(date) ==="
+timeout -k 30 "$T" python scripts/train_synthmorph.py \
+  --label-dir 'data_synth/lab_*.npz' \
+  --model-dir /tmp/fullres_probe --out-shape 160 192 224 \
+  --dtype bfloat16 --cache-device --steps-per-dispatch 1 \
+  --epochs 3 --steps-per-epoch 5 --save-freq 99 \
+  > /tmp/fullres_step.log 2>&1
+echo "fullres_step rc=$?"; grep -E "epoch " /tmp/fullres_step.log | tail -3
+grep -E "epoch " /tmp/fullres_step.log | tail -3 \
+  > artifacts_r5/fullres_synth_step_r05.txt
 }
 
 T=$(gate perfbreak 2000) && {
@@ -185,6 +151,54 @@ json.dump(out, open("PERF_BREAKDOWN_r05.json", "w"), indent=1)
 PYEOF
 echo "perfbreak done"; tail -c 300 PERF_BREAKDOWN_r05.json; echo
 }
+
+T=$(gate unsuptrain 2600) && {
+echo "=== unsupervised VxmDense retrain, full res, NCC, bf16 ($T s): $(date) ==="
+timeout -k 30 "$T" python scripts/train.py \
+  --img-list data_gen/train_list.txt \
+  --model-dir models_unsup_r5 --image-loss ncc --lambda 1 \
+  --dtype bfloat16 --cache-device --steps-per-dispatch 10 \
+  --epochs 40 --steps-per-epoch 100 --save-freq 10 \
+  > /tmp/unsup_r5.log 2>&1
+echo "unsup rc=$? $(date)"; grep -E "epoch " /tmp/unsup_r5.log | tail -1
+cp -f models_unsup_r5/metrics.csv artifacts_r5/unsup_r5_metrics.csv 2>/dev/null
+}
+
+T=$(gate unsupeval 1600) && {
+echo "=== unsupervised eval, 12 full-res pairs -> QUALITY_r05 ($T s): $(date) ==="
+CK=$(ls models_unsup_r5/0*.npz 2>/dev/null | tail -1)
+if [ -z "$CK" ]; then echo "SKIP unsupeval: no checkpoint" >&2; else
+  timeout -k 30 "$T" python scripts/run_quality_eval.py --model "$CK" \
+    --out QUALITY_r05.json > /tmp/evalunsup_r5.log 2>&1
+  echo "unsupeval rc=$?"; grep -E '"dice_mean"' QUALITY_r05.json
+  cp -f "$CK" artifacts_r5/unsup_r5_$(basename $CK) 2>/dev/null
+fi
+}
+
+T=$(gate semitrain 2200) && {
+echo "=== semisupervised retrain, 20 scans ($T s): $(date) ==="
+head -20 data_gen/train_list.txt > data_gen/train_list20.txt
+timeout -k 30 "$T" python scripts/train_semisupervised_seg.py \
+  --img-list data_gen/train_list20.txt --labels data_gen/labels30.npy \
+  --model-dir models_semi_r5 --image-loss ncc \
+  --grad-loss-weight 1 --dice-loss-weight 0.5 \
+  --dtype bfloat16 --cache-device \
+  --epochs 40 --steps-per-epoch 100 --save-freq 10 \
+  > /tmp/semi_r5.log 2>&1
+echo "semi rc=$? $(date)"; grep -E "epoch " /tmp/semi_r5.log | tail -1
+}
+
+T=$(gate semieval 1600) && {
+echo "=== semisupervised eval, 12 pairs -> QUALITY_r05_semisupervised ($T s): $(date) ==="
+CK=$(ls models_semi_r5/0*.npz 2>/dev/null | tail -1)
+if [ -z "$CK" ]; then echo "SKIP semieval: no checkpoint" >&2; else
+  timeout -k 30 "$T" python scripts/run_quality_eval.py --model "$CK" \
+    --out QUALITY_r05_semisupervised.json > /tmp/evalsemi_r5.log 2>&1
+  echo "semieval rc=$?"; grep -E '"dice_mean"' QUALITY_r05_semisupervised.json
+  cp -f "$CK" artifacts_r5/semi_r5_$(basename $CK) 2>/dev/null
+fi
+}
+
 
 T=$(gate benchwarm 1400) && {
 echo "=== bench warm (compile cache for the driver's official run) ($T s): $(date) ==="

@@ -274,3 +274,23 @@ def test_unet_pallas_conv_dispatch_parity():
         del os.environ["VXM_PALLAS_CONV"]
     np.testing.assert_allclose(np.asarray(got["y_source"]),
                                np.asarray(ref["y_source"]), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_conv_batched_matches_xla():
+    """The batch rides the Pallas grid — must match XLA at B>1, fwd + grads."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(3, 8, 8, 32, 2)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 2, 4)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(3, 8, 8, 32, 4)).astype(np.float32))
+    got = pallas_conv.conv3_same(x, k, b, act_slope=0.2)
+    ref = _xla_conv3(x, k, b, 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    gp = jax.grad(lambda *a: jnp.sum(pallas_conv.conv3_same(*a, act_slope=0.2) * g),
+                  argnums=(0, 1, 2))(x, k, b)
+    gr = jax.grad(lambda *a: jnp.sum(_xla_conv3(*a, 0.2) * g),
+                  argnums=(0, 1, 2))(x, k, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-4)

@@ -162,14 +162,21 @@ def _kernel(tz, th, W, ci, co, act_slope, out_dtype,
     jax.lax.fori_loop(0, tz, plane, 0, unroll=True)
 
 
-def _conv3_same_cf_fwd_impl(x_cf, kernel, bias, act_slope, out_dtype):
+def _conv3_same_cf_fwd_impl(x_bcf, kernel, bias, act_slope, out_dtype):
+    """Batched channels-first forward: (B, ci, D, H, W) -> (B, co, D, H, W).
+
+    The batch is folded into the Pallas GRID (one (b, z, y) tile per grid
+    step), not unrolled in Python: a Python unroll serializes B kernel
+    launches per conv and measured 0.54x XLA at bs4 end-to-end
+    (artifacts_r5/BENCH_trial_r05a.json) while the folded grid keeps the
+    single-launch pipeline."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ci, D, H, W = x_cf.shape
+    B, ci, D, H, W = x_bcf.shape
     co = int(kernel.shape[-1])
-    in_bytes = 2 if x_cf.dtype == jnp.bfloat16 else 4
-    out_dtype = out_dtype or x_cf.dtype
+    in_bytes = 2 if x_bcf.dtype == jnp.bfloat16 else 4
+    out_dtype = out_dtype or x_bcf.dtype
     ob = 2 if jnp.dtype(out_dtype) == jnp.bfloat16 else 4
     tiles = _pick_tiles(ci, co, D, H, W, in_bytes, ob)
     if tiles is None:
@@ -178,32 +185,34 @@ def _conv3_same_cf_fwd_impl(x_cf, kernel, bias, act_slope, out_dtype):
     gz, gy = D // tz, H // th
     N = th * W
 
-    xp = jnp.pad(x_cf, [(0, 0), (1, 1), (1, 1), (0, 0)])
-    xf2 = jnp.pad(xp.reshape(ci, D + 2, (H + 2) * W), [(0, 0), (0, 0), (1, 1)])
-    win = _window_stack_flat(xf2, tz, th, W, gz, gy)
+    xp = jnp.pad(x_bcf, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+    xf2 = jnp.pad(xp.reshape(B, ci, D + 2, (H + 2) * W),
+                  [(0, 0), (0, 0), (0, 0), (1, 1)])
+    win = jnp.concatenate(
+        [_window_stack_flat(xf2[b], tz, th, W, gz, gy) for b in range(B)], 0)
     # (3,3,3,ci,co) -> (co, 27*ci), row order [dz, dy, dx, ci]
     wmat = jnp.transpose(kernel, (4, 0, 1, 2, 3)).reshape(co, 27 * ci)
-    wmat = wmat.astype(x_cf.dtype)
+    wmat = wmat.astype(x_bcf.dtype)
     b2 = bias.reshape(co, 1)
 
     kfun = functools.partial(_kernel, tz, th, W, ci, co, act_slope, out_dtype)
     Lw = (th + 2) * W + 2
     out = pl.pallas_call(
         kfun,
-        grid=(gz * gy,),
+        grid=(B * gz * gy,),
         in_specs=[
             pl.BlockSpec((1, ci, tz + 2, Lw), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((co, 27 * ci), lambda i: (0, 0)),
             pl.BlockSpec((co, 1), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, co, tz, N), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((gz * gy, co, tz, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((27 * ci, N), x_cf.dtype)],
+        out_shape=jax.ShapeDtypeStruct((B * gz * gy, co, tz, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((27 * ci, N), x_bcf.dtype)],
         interpret=_INTERPRET,
     )(win, wmat, b2)
-    # (gz*gy, co, tz, th*W) -> (co, D, H, W)
-    out = out.reshape(gz, gy, co, tz, th, W)
-    return jnp.transpose(out, (2, 0, 3, 1, 4, 5)).reshape(co, D, H, W)
+    # (B*gz*gy, co, tz, th*W) -> (B, co, D, H, W)
+    out = out.reshape(B, gz, gy, co, tz, th, W)
+    return jnp.transpose(out, (0, 3, 1, 4, 2, 5, 6)).reshape(B, co, D, H, W)
 
 
 def _flip_transpose_kernel(kernel):
@@ -224,57 +233,61 @@ def _conv3_block_cf_fwd(x_cf, kernel, bias, act_slope):
 
 
 def _conv3_block_cf_bwd(act_slope, res, g):
-    x_cf, kernel, y = res
-    gf = g.astype(jnp.float32)
+    x_bcf, kernel, y = res
     if act_slope is not None:
         # LeakyReLU is monotone with positive slopes: sign(y) == sign(preact)
-        gf = jnp.where(y >= 0, gf, act_slope * gf)
-    gf = gf.astype(x_cf.dtype)
-    co = y.shape[0]
+        gf = jnp.where(y >= 0, g, jnp.asarray(act_slope, g.dtype) * g)
+    else:
+        gf = g
+    B, ci, D, H, W = x_bcf.shape
+    co = y.shape[1]
     # dx: transpose conv == SAME conv with flipped taps and ci<->co swapped
     dx = _conv3_same_cf_fwd_impl(
         gf, _flip_transpose_kernel(kernel),
-        jnp.zeros((x_cf.shape[0],), x_cf.dtype), None, x_cf.dtype)
+        jnp.zeros((ci,), x_bcf.dtype), None, x_bcf.dtype)
     assert dx is not None
-    # dw / db via XLA reductions (27 shifted contractions; correctness
-    # first — a dedicated accumulation kernel can replace this)
-    ci, D, H, W = x_cf.shape
-    xp = jnp.pad(x_cf, [(0, 0), (1, 1), (1, 1), (1, 1)])
-    gflat = gf.reshape(co, -1).astype(jnp.float32)
+    # dw / db via XLA reductions: 27 shifted contractions over (B, vox).
+    # Operands stay in the input dtype with f32 ACCUMULATION — explicit
+    # .astype(f32) copies of full volumes OOM'd the f32 bs1 train step
+    # (16.95G, BENCH_trial_r05a)
+    xp = jnp.pad(x_bcf, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1)])
+    gflat = gf.reshape(B, co, -1)
     rows = []
     for dz in range(3):
         for dy in range(3):
             for dx_ in range(3):
                 xs = jax.lax.dynamic_slice(
-                    xp, (0, dz, dy, dx_), (ci, D, H, W)).reshape(ci, -1)
+                    xp, (0, 0, dz, dy, dx_),
+                    (B, ci, D, H, W)).reshape(B, ci, -1)
                 rows.append(jax.lax.dot_general(
-                    xs.astype(jnp.float32), gflat,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))  # (ci, co)
+                    xs, gflat,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32).sum(0))  # (ci, co)
     dw = jnp.stack(rows, 0).reshape(3, 3, 3, ci, co).astype(kernel.dtype)
-    db = jnp.sum(gf.astype(jnp.float32), axis=(1, 2, 3)).astype(x_cf.dtype)
+    db = jnp.sum(gf, axis=(0, 2, 3, 4),
+                 dtype=jnp.float32).astype(x_bcf.dtype)
     return dx, dw, db
 
 
 _conv3_block_cf.defvjp(_conv3_block_cf_fwd, _conv3_block_cf_bwd)
 
 
-def conv3_same_cf(x_cf, kernel, bias, *, act_slope=0.2, out_dtype=None):
-    """3x3x3 SAME conv + bias (+ LeakyReLU) on a single channels-first
-    sample. x_cf: (ci, D, H, W); kernel: (3, 3, 3, ci, co) (flax HWIO
-    layout); bias: (co,). Returns (co, D, H, W), differentiable.
+def conv3_same_cf(x_bcf, kernel, bias, *, act_slope=0.2, out_dtype=None):
+    """3x3x3 SAME conv + bias (+ LeakyReLU), batched channels-first.
+    x_bcf: (B, ci, D, H, W); kernel: (3, 3, 3, ci, co) (flax HWIO layout);
+    bias: (co,). Returns (B, co, D, H, W), differentiable.
 
     Returns None when the shape is ineligible (caller falls back to XLA).
     """
-    ci, D, H, W = x_cf.shape
+    B, ci, D, H, W = x_bcf.shape
     co = int(kernel.shape[-1])
-    in_bytes = 2 if x_cf.dtype == jnp.bfloat16 else 4
+    in_bytes = 2 if x_bcf.dtype == jnp.bfloat16 else 4
     ob = in_bytes if out_dtype is None else (
         2 if jnp.dtype(out_dtype) == jnp.bfloat16 else 4)
     if ci % 2 or _pick_tiles(ci, co, D, H, W, in_bytes, ob) is None:
         return None
-    out = _conv3_block_cf(x_cf, kernel.astype(x_cf.dtype),
-                          bias.astype(x_cf.dtype), act_slope)
+    out = _conv3_block_cf(x_bcf, kernel.astype(x_bcf.dtype),
+                          bias.astype(x_bcf.dtype), act_slope)
     if out_dtype is not None:
         out = out.astype(out_dtype)
     return out
@@ -283,18 +296,13 @@ def conv3_same_cf(x_cf, kernel, bias, *, act_slope=0.2, out_dtype=None):
 def conv3_same(x, kernel, bias, *, act_slope=0.2, out_dtype=None):
     """Batched channels-last wrapper: x (B, D, H, W, ci) -> (B, D, H, W, co).
 
-    Unrolls the batch (pallas_call has no batching rule) and transposes
-    around the channels-first kernel. Returns None when ineligible.
-    """
+    Transposes around the batched channels-first kernel (the batch rides
+    the Pallas grid). Returns None when ineligible."""
     if x.ndim != 5 or tuple(kernel.shape[:3]) != (3, 3, 3):
         return None
-    B = x.shape[0]
-    outs = []
-    for b in range(B):
-        x_cf = jnp.transpose(x[b], (3, 0, 1, 2))
-        o = conv3_same_cf(x_cf, kernel, bias, act_slope=act_slope,
-                          out_dtype=out_dtype)
-        if o is None:
-            return None
-        outs.append(jnp.transpose(o, (1, 2, 3, 0)))
-    return jnp.stack(outs, 0)
+    x_bcf = jnp.transpose(x, (0, 4, 1, 2, 3))
+    o = conv3_same_cf(x_bcf, kernel, bias, act_slope=act_slope,
+                      out_dtype=out_dtype)
+    if o is None:
+        return None
+    return jnp.transpose(o, (0, 2, 3, 4, 1))
