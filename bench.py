@@ -236,10 +236,13 @@ def measure_inference(batch_sizes=(1, 2, 4), dtypes=("bfloat16",),
     from voxelmorph_tpu.ops import pallas_conv
     from voxelmorph_tpu.registration import enable_fast_warp
 
-    # Inference rides the Pallas conv kernel (AB_conv_r05: 3.8x over XLA's
-    # 3-D conv lowering at the full-res U-Net shapes; the batch is folded
-    # into the kernel grid). VXM_BENCH_XLACONV=1 reverts for an A/B.
-    use_pallas_conv = os.environ.get("VXM_BENCH_XLACONV", "0") != "1"
+    # XLA conv holds the production inference path. The Pallas conv kernel
+    # wins the isolated single-conv microbenchmark 3.8x (AB_conv_r05) but
+    # LOSES end-to-end: 4.68 pairs/s at bs4 / 3.58 at bs1 vs XLA's 8.40
+    # (BENCH_trial_r05b, PROBE_bs1_r05) — the channels-first transposes and
+    # host-side window restaging between kernels cost more than the conv
+    # win. Opt in with VXM_BENCH_PALLASCONV=1 to re-measure.
+    use_pallas_conv = os.environ.get("VXM_BENCH_PALLASCONV", "0") == "1"
     pallas_conv.set_pallas_conv(use_pallas_conv)
     detail = RESULT["detail"]
     detail["conv_path_infer"] = "pallas" if use_pallas_conv else "xla"
@@ -312,12 +315,14 @@ def measure_train_step(iters=5, warmup=2, dtype_name="float32", batch_size=1):
     from voxelmorph_tpu.ops import pallas_conv
     from voxelmorph_tpu.training import LossTerm, Trainer
 
-    # bf16 training rides the conv kernel (2x VJP win, AB_conv_r05; the
-    # all-kernel bs2-bf16 step compiles at 14.54 GiB where XLA OOMs at
-    # 16.00). f32 stays on XLA conv: the kernel's dw contraction layout
-    # peaks over HBM at f32 bs1 (16.95G, BENCH_trial_r05a).
-    use_pallas_conv = (dtype_name == "bfloat16"
-                       and os.environ.get("VXM_BENCH_XLACONV", "0") != "1")
+    # XLA conv holds the training path too. The conv kernel's bf16 train
+    # steps crash the REMOTE Mosaic compile helper (HTTP 500 subprocess
+    # exit 1 at bs1 and bs2, PROBE_bs1_r05) even though the LOCAL AOT
+    # helper compiles the same bs2-bf16 step at 14.54 GiB where XLA OOMs
+    # at 16.00 (scripts/train_mem_probe.py) — a toolchain discrepancy, so
+    # the memory win is real but not deliverable over this tunnel. f32
+    # additionally OOMs through the kernel VJP (16.95G, BENCH_trial_r05a).
+    use_pallas_conv = os.environ.get("VXM_BENCH_PALLASCONV", "0") == "1"
     pallas_conv.set_pallas_conv(use_pallas_conv)
     RESULT["detail"][f"conv_path_train_{dtype_name}"] = (
         "pallas" if use_pallas_conv else "xla")
