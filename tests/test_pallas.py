@@ -294,3 +294,60 @@ def test_pallas_conv_batched_matches_xla():
     for a, r in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_lean_dw_conv_matches_autodiff():
+    """conv3_same_lean_dw: forward equals the XLA conv; custom dw/db/dx
+    equal autodiff of the same function (2-D and 3-D)."""
+    rng = np.random.default_rng(17)
+    for shape, nd in (((2, 7, 9, 11, 3), 3), ((2, 9, 11, 3), 2)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        k = jnp.asarray(rng.normal(
+            size=(*((3,) * nd), 3, 5)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.normal(size=(5,)).astype(np.float32))
+        g = jnp.asarray(rng.normal(
+            size=(*shape[:-1], 5)).astype(np.float32))
+        got = pallas_conv.conv3_same_lean_dw(x, k, b, 0.2)
+        ref = pallas_conv._xla_conv3_fwd_raw(x, k, b, 0.2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        gp = jax.grad(lambda *a: jnp.sum(
+            pallas_conv.conv3_same_lean_dw(*a, 0.2) * g),
+            argnums=(0, 1, 2))(x, k, b)
+        gr = jax.grad(lambda *a: jnp.sum(
+            pallas_conv._xla_conv3_fwd_raw(*a, 0.2) * g),
+            argnums=(0, 1, 2))(x, k, b)
+        for a, r in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_unet_lean_dw_dispatch_parity():
+    """VXM_XLA_DW_EINSUM=1 swaps stride-1 ConvBlocks onto the lean-dw VJP;
+    outputs AND parameter gradients must match the nn.Conv path."""
+    import voxelmorph_tpu as vxm
+
+    model = vxm.networks.VxmDense(
+        inshape=(8, 8, 16), nb_unet_features=[[2, 4], [4, 4, 2]],
+        int_steps=0)
+    rng = np.random.default_rng(21)
+    src = jnp.asarray(rng.normal(size=(1, 8, 8, 16, 1)).astype(np.float32))
+    trg = jnp.asarray(rng.normal(size=(1, 8, 8, 16, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), src, trg)
+
+    def loss(p):
+        return jnp.mean(
+            (model.apply(p, src, trg)["y_source"] - trg) ** 2)
+
+    ref, gref = jax.value_and_grad(loss)(params)
+    os.environ["VXM_XLA_DW_EINSUM"] = "1"
+    try:
+        got, ggot = jax.value_and_grad(loss)(params)
+    finally:
+        del os.environ["VXM_XLA_DW_EINSUM"]
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    fr = jax.tree_util.tree_leaves(gref)
+    fg = jax.tree_util.tree_leaves(ggot)
+    for a, r in zip(fg, fr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-5)

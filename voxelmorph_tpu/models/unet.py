@@ -145,6 +145,32 @@ class PallasConv3(nn.Module):
         return out
 
 
+class LeanDwConv(nn.Module):
+    """nn.Conv-compatible k3 SAME conv whose weight gradient is computed by
+    shifted dot-contractions (pallas_conv.conv3_same_lean_dw) instead of
+    XLA's padded conv-weight-gradient tiling. Same param names/shapes/inits
+    as ``nn.Conv(features, (3,)*ndims, SAME, he_normal)`` — checkpoints are
+    interchangeable. Optionally fuses the LeakyReLU(0.2)."""
+
+    features: int
+    ndims: int
+    fuse_act: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops import pallas_conv
+        ci = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (*((3,) * self.ndims), ci, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return pallas_conv.conv3_same_lean_dw(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), 0.2 if self.fuse_act else None)
+
+
 class ConvBlock(nn.Module):
     """conv(k3, he_normal) [+ residual] + LeakyReLU(0.2)."""
 
@@ -168,6 +194,14 @@ class ConvBlock(nn.Module):
             fused_act = self.include_activation and not self.do_res
             out = PallasConv3(self.features, fuse_act=fused_act,
                               dtype=self.dtype, name="conv")(x)
+        elif pallas_conv.xla_dw_einsum_enabled() and self.strides == 1:
+            # all-XLA lean-memory VJP: dw via shifted dot-contractions
+            # instead of XLA's padded conv-weight-gradient tiling (the
+            # bs2-bf16 OOM driver); forward/dx stay on XLA's conv
+            fused_act = self.include_activation and not self.do_res
+            out = LeanDwConv(self.features, self.ndims,
+                             fuse_act=fused_act, dtype=self.dtype,
+                             name="conv")(x)
         else:
             out = nn.Conv(self.features, k, strides=(self.strides,) * self.ndims,
                           padding="SAME", kernel_init=nn.initializers.he_normal(),

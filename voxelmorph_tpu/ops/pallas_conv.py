@@ -306,3 +306,94 @@ def conv3_same(x, kernel, bias, *, act_slope=0.2, out_dtype=None):
     if o is None:
         return None
     return jnp.transpose(o, (0, 2, 3, 4, 1))
+
+
+# ---------------------------------------------------------------------------
+# All-XLA lean-memory conv VJP (no Pallas, no Mosaic)
+#
+# XLA's TPU conv-WEIGHT-gradient lowering tiles the activation into padded
+# channel-minor buffers (measured 3.63G at 4.0x padding + 3.40G for ONE
+# full-res conv at bs2-bf16 — the allocations that put the train step
+# 261M over HBM). The dw of a stride-1 SAME conv is exactly 27 shifted
+# (B*vox) dot-contractions, which XLA lowers as plain MXU dots with no
+# such tiling. Forward and dx stay on XLA's conv (fast, memory-fine);
+# only dw/db are rewritten. Enable with VXM_XLA_DW_EINSUM=1.
+
+
+def xla_dw_einsum_enabled() -> bool:
+    if _FORCED_DW is not None:
+        return _FORCED_DW
+    return os.environ.get("VXM_XLA_DW_EINSUM", "0") == "1"
+
+
+_FORCED_DW = None
+
+
+def set_xla_dw_einsum(enabled):
+    global _FORCED_DW
+    _FORCED_DW = enabled
+
+
+def _xla_conv3_fwd_raw(x, kernel, bias, act_slope):
+    nd = x.ndim - 2
+    out = jax.lax.conv_general_dilated(
+        x, kernel, (1,) * nd, "SAME",
+        dimension_numbers=_dimnums(nd)) + bias
+    if act_slope is not None:
+        out = jnp.where(out >= 0, out, jnp.asarray(act_slope, out.dtype) * out)
+    return out
+
+
+def _dimnums(nd):
+    sp = "DHW"[-nd:] if nd <= 3 else None
+    return ("N" + sp + "C", sp + "IO", "N" + sp + "C")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3_same_lean_dw(x, kernel, bias, act_slope):
+    """nn.Conv-equivalent k3 SAME conv (+bias, + optional LeakyReLU) whose
+    dw is computed by shifted dot-contractions instead of XLA's conv
+    weight-gradient. ND (1-3 spatial dims), channels-last."""
+    return _xla_conv3_fwd_raw(x, kernel, bias, act_slope)
+
+
+def _lean_fwd(x, kernel, bias, act_slope):
+    y = conv3_same_lean_dw(x, kernel, bias, act_slope)
+    return y, (x, kernel, y)
+
+
+def _lean_bwd(act_slope, res, g):
+    x, kernel, y = res
+    nd = x.ndim - 2
+    if act_slope is not None:
+        # monotone activation: sign(y) == sign(preactivation)
+        gf = jnp.where(y >= 0, g, jnp.asarray(act_slope, g.dtype) * g)
+    else:
+        gf = g
+    # dx: transpose conv == SAME conv with flipped taps, ci<->co swapped
+    flip = kernel[(slice(None, None, -1),) * nd]
+    kt = jnp.swapaxes(flip, nd, nd + 1)
+    dx = jax.lax.conv_general_dilated(
+        gf, kt, (1,) * nd, "SAME", dimension_numbers=_dimnums(nd))
+    # dw: one dot per tap over (batch, voxels); input-dtype operands with
+    # f32 accumulation (no astype copies)
+    B = x.shape[0]
+    ci, co = x.shape[-1], kernel.shape[-1]
+    ks = kernel.shape[:nd]
+    pads = [(0, 0)] + [(k // 2, k // 2) for k in ks] + [(0, 0)]
+    xp = jnp.pad(x, pads)
+    gflat = gf.reshape(B, -1, co)
+    taps = []
+    for idx in np.ndindex(*ks):
+        xs = jax.lax.dynamic_slice(
+            xp, (0, *idx, 0), x.shape).reshape(B, -1, ci)
+        taps.append(jax.lax.dot_general(
+            xs, gflat, dimension_numbers=(((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.float32))  # (ci, co)
+    dw = jnp.stack(taps, 0).reshape(*ks, ci, co).astype(kernel.dtype)
+    db = jnp.sum(gf, axis=tuple(range(x.ndim - 1)),
+                 dtype=jnp.float32).astype(g.dtype)
+    return dx, dw, db
+
+
+conv3_same_lean_dw.defvjp(_lean_fwd, _lean_bwd)
