@@ -9,7 +9,7 @@ echo "=== queue12 starting: $(date) ==="
 mkdir -p artifacts_r5
 END=${QUEUE12_END:?set QUEUE12_END to a unix deadline}
 
-if [ -f /tmp/queue11.pid ]; then
+if false; then
   while kill -0 "$(cat /tmp/queue11.pid)" 2>/dev/null; do sleep 10; done
 fi
 echo "=== queue11 drained: $(date) ==="
@@ -46,7 +46,7 @@ if [ -z "$CK" ]; then echo "SKIP hypersweep: no checkpoint" >&2; else
 fi
 }
 
-T=$(gate pure 1300) && {
+T=$(gate pure 1100) && {
 echo "=== PURE Dice+Grad from the annealed net ($T s): $(date) ==="
 CK=$(ls models_synth_r5/w10/0*.npz 2>/dev/null | tail -1)
 [ -z "$CK" ] && { echo "SKIP pure: no w10 checkpoint" >&2; CK=""; }
@@ -63,16 +63,16 @@ echo "pure rc=$? $(date)"; grep -E "epoch " /tmp/pure.log | tail -1
 
 T=$(gate synth_evals 1400) && {
 echo "=== eval anneal+pure checkpoints at FULL res ($T s): $(date) ==="
-CKS="$(ls models_synth_r5/w25/0*.npz 2>/dev/null | tail -1) \
+CKS="$(ls models_synth_r5/pure/0*.npz 2>/dev/null | tail -2 | tr '\n' ' ') \
      $(ls models_synth_r5/w10/0*.npz 2>/dev/null | tail -1) \
-     $(ls models_synth_r5/pure/0*.npz 2>/dev/null | tail -2 | tr '\n' ' ')"
+     $(ls models_synth_r5/w25/0*.npz 2>/dev/null | tail -1)"
 [ -z "${CKS// /}" ] && echo "SKIP synth_evals: no checkpoints" >&2
 [ -n "${CKS// /}" ] && timeout -k 30 "$T" python scripts/eval_many.py \
   --out-dir artifacts_r5/evals_anneal $CKS > /tmp/evalanneal.log 2>&1
 echo "synth_evals rc=$?"; grep -hE '"dice_mean"' artifacts_r5/evals_anneal/*.json 2>/dev/null | tail -6
 }
 
-T=$(gate fullres_synth_step 800) && {
+T=$(gate fullres_synth_step 700) && {
 echo "=== full-res SynthMorph train-step timing (VERDICT item 5) ($T s): $(date) ==="
 timeout -k 30 "$T" python scripts/train_synthmorph.py \
   --label-dir 'data_synth/lab_*.npz' \
@@ -85,11 +85,11 @@ grep -E "epoch " /tmp/fullres_step.log | tail -3 \
   > artifacts_r5/fullres_synth_step_r05.txt
 }
 
-T=$(gate perfbreak 900) && {
+T=$(gate perfbreak 700) && {
 echo "=== perf breakdown r05, bf16 (reconciliation vs BENCH) ($T s): $(date) ==="
 timeout -k 30 "$T" python scripts/perf_breakdown.py --dtype bfloat16 \
   > /tmp/perfbreak_bf16.json 2>/tmp/perfbreak.err
-timeout -k 30 500 python scripts/perf_breakdown.py --dtype float32 \
+timeout -k 30 400 python scripts/perf_breakdown.py --dtype float32 \
   > /tmp/perfbreak_f32.json 2>>/tmp/perfbreak.err
 python - <<'PYEOF'
 import json
