@@ -262,3 +262,28 @@ def test_synthmorph_shared_contrast_smoke():
     key = jax.random.PRNGKey(0)
     out = model.init_with_output({'params': key, 'synth': key}, maps, maps)[0]
     assert out['y_source'].shape == (1, *SHAPE3, 1)
+
+
+def test_labels_to_image_onehot_fallback_matches_fused():
+    """VXM_FUSED_ONEHOT_MAX_VOX gates the fused label/one-hot warp; the
+    materialized-pack fallback must produce identical synthesis outputs."""
+    import os
+    import jax
+    from voxelmorph_tpu.models.synthmorph import (LabelsToImageConfig,
+                                                  labels_to_image)
+
+    rng = np.random.default_rng(3)
+    shape = (10, 12, 14)
+    labs = rng.integers(0, 4, size=(1, *shape, 1)).astype(np.int32)
+    cfg = LabelsToImageConfig(shape, [0, 1, 2, 3])
+    key = jax.random.PRNGKey(7)
+    img_f, oh_f = labels_to_image(key, jnp.asarray(labs), cfg)[:2]
+    os.environ["VXM_FUSED_ONEHOT_MAX_VOX"] = "1"
+    try:
+        img_m, oh_m = labels_to_image(key, jnp.asarray(labs), cfg)[:2]
+    finally:
+        del os.environ["VXM_FUSED_ONEHOT_MAX_VOX"]
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_m),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(oh_f), np.asarray(oh_m),
+                               rtol=1e-5, atol=1e-5)

@@ -19,6 +19,7 @@ Three pieces, rebuilt TPU-first from the reference:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -180,8 +181,23 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
         # ~15x less gather traffic (the full-res train-step bottleneck).
         # (Runs under vmap; the gather formulation needs no halo dispatch.)
         loc = interp_ops.ndgrid(cfg.in_shape, dtype=warp.dtype) + warp
-        image, one_hot = interp_ops.interpn_label_onehot(
-            image, out_idx, loc, cfg.nb_out_labels)
+        # Resolution gate (VXM_FUSED_ONEHOT_MAX_VOX overrides): at full
+        # resolution the fused path's (L, voxels) one-hot accumulator is
+        # not fully fused by XLA and the train step OOMs by ~293M
+        # (round-5 probe, /tmp/fullres_step.log) where the materialized
+        # (1+L)-channel pack compiled at 12.1 GB — keep the fusion where
+        # it is measured-safe (half resolution) and fall back above.
+        max_vox = int(os.environ.get("VXM_FUSED_ONEHOT_MAX_VOX", 2_000_000))
+        if int(np.prod(cfg.in_shape)) <= max_vox:
+            image, one_hot = interp_ops.interpn_label_onehot(
+                image, out_idx, loc, cfg.nb_out_labels)
+        else:
+            pack = jnp.concatenate(
+                [image[..., None],
+                 jax.nn.one_hot(out_idx, cfg.nb_out_labels,
+                                dtype=image.dtype)], axis=-1)
+            warped = interp_ops.interpn(pack, loc)
+            image, one_hot = warped[..., 0], warped[..., 1:]
 
         # 4. blur with random std
         blur_sig = jax.random.uniform(keys[4], (), jnp.float32, 0.0, cfg.blur_std)
