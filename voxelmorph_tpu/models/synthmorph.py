@@ -181,12 +181,14 @@ def labels_to_image(key, label_map: jnp.ndarray, cfg: LabelsToImageConfig,
         # ~15x less gather traffic (the full-res train-step bottleneck).
         # (Runs under vmap; the gather formulation needs no halo dispatch.)
         loc = interp_ops.ndgrid(cfg.in_shape, dtype=warp.dtype) + warp
-        # Resolution gate (VXM_FUSED_ONEHOT_MAX_VOX overrides): at full
-        # resolution the fused path's (L, voxels) one-hot accumulator is
-        # not fully fused by XLA and the train step OOMs by ~293M
-        # (round-5 probe, /tmp/fullres_step.log) where the materialized
-        # (1+L)-channel pack compiled at 12.1 GB — keep the fusion where
-        # it is measured-safe (half resolution) and fall back above.
+        # Resolution gate (VXM_FUSED_ONEHOT_MAX_VOX overrides). Round-5
+        # bisect note: the full-res (--out-shape 160 192 224) train step
+        # OOMs by ~290M with the fusion ON (292.83M) and OFF (287.44M)
+        # alike — the fused gather is NOT the driver (synthesis runs at
+        # the half-res label grid either way); the regression vs the r4
+        # "compiles at 12.1 GB" record lives elsewhere in the full-res
+        # step and is unresolved. The gate stays as a measured-safe
+        # default (fusion proven at half res) and a bisect knob.
         max_vox = int(os.environ.get("VXM_FUSED_ONEHOT_MAX_VOX", 2_000_000))
         if int(np.prod(cfg.in_shape)) <= max_vox:
             image, one_hot = interp_ops.interpn_label_onehot(
